@@ -1,0 +1,173 @@
+"""Synopsis: composing pixels from several facets.
+
+TPU-native re-designs of the reference's synopsis-forming objects
+(envutil_payload.cc):
+
+* ``voronoi``    - opaque panorama: the facet whose (normalized,
+  facet-CS) ray has the largest z * recip_step wins - the 'champion'
+  criterion (README.md:427-469, _voronoi_syn:762-957). The reference's
+  per-batch fast paths (all-miss, unanimous champion) are control flow;
+  here everything is one branchless argmax + select, which is what the
+  VPU wants.
+* ``voronoi_plus`` - facets with alpha: z-ordering of all facets per
+  pixel (the reference trickle-up sorts SIMD lanes,
+  _voronoi_syn_plus:964-1233; we sort along the facet axis) followed by
+  front-to-back associated-alpha compositing.
+* ``hdr_merge``  - exposure fusion with triangular quality weighting,
+  max-of-RGB grey projection, darkest facet ruling highlights and
+  brightest ruling shadows (_hdr_merge_syn:1325-1623).
+
+Twining (the synopsis_t wrapper, envutil_payload.cc:587-691) is a
+static loop over the spread coefficients: each tap deflects all
+facets' rays along the differenced derivative rays and feeds the plain
+synopsis; the weighted taps accumulate into the result. K is known at
+trace time, so XLA fuses the whole loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import environment as E
+from .stepper import DERIV_BIAS
+
+_LOWEST = float(np.finfo(np.float32).min)
+
+
+def _eval_all(sources: List[E.FacetSource], rays, nch: int):
+    """Evaluate every facet at its rays; returns stacked pixels
+    (NF, ..., C), masks (NF, ...), scores (NF, ...)."""
+    pxs, masks, scores = [], [], []
+    for src, ray in zip(sources, rays):
+        px, mask = E.lookup(src, ray, nch)
+        z = ray[2] * src.static.recip_step
+        pxs.append(px)
+        masks.append(mask)
+        scores.append(jnp.where(mask, z, _LOWEST))
+    return jnp.stack(pxs), jnp.stack(masks), jnp.stack(scores)
+
+
+def voronoi(sources, rays, nch: int):
+    px, mask, score = _eval_all(sources, rays, nch)
+    champion = jnp.argmax(score, axis=0)
+    any_valid = jnp.any(mask, axis=0)
+    sel = jnp.take_along_axis(
+        px, champion[None, ..., None], axis=0)[0]
+    return jnp.where(any_valid[..., None], sel, 0.0)
+
+
+def voronoi_plus(sources, rays, nch: int):
+    px, mask, score = _eval_all(sources, rays, nch)
+    order = jnp.argsort(-score, axis=0)
+    layers = jnp.take_along_axis(px, order[..., None], axis=0)
+    valid = jnp.take_along_axis(mask, order, axis=0)
+    # front-to-back associated-alpha compositing; misses contribute 0
+    acc = jnp.where(valid[0][..., None], layers[0], 0.0)
+    for l in range(1, len(sources)):
+        contrib = jnp.where(valid[l][..., None], layers[l], 0.0)
+        acc = acc + (1.0 - acc[..., -1:]) * contrib
+    return acc
+
+
+def _grey_project(px):
+    """max of R,G,B (envutil_payload.cc:1457-1463)."""
+    return jnp.max(px, axis=-1)
+
+
+def _quality(grey, optimum: float, kind: str):
+    """Triangular quality, boosted for long exposures by /optimum^2;
+    the brightest facet rules the shadows (kind 'low'), the darkest the
+    highlights (kind 'high') (envutil_payload.cc:1390-1445)."""
+    grey_is_large = grey > optimum
+    distance = jnp.abs(optimum - grey)
+    if kind == "low":
+        distance = jnp.where(grey_is_large, distance, 0.0)
+    elif kind == "high":
+        distance = jnp.where(grey_is_large, 0.0, distance)
+    return (optimum - distance) / (optimum * optimum)
+
+
+def hdr_merge(sources, rays, nch: int):
+    has_alpha = nch in (2, 4)
+    brightens = [s.static.brighten for s in sources]
+    lo_i = int(np.argmin(brightens))
+    hi_i = int(np.argmax(brightens))
+
+    acc = None
+    qsum = None
+    alpha_max = None
+    for i, (src, ray) in enumerate(zip(sources, rays)):
+        px, _ = E.lookup(src, ray, nch)
+        kind = "low" if i == lo_i else ("high" if i == hi_i else "mid")
+        optimum = 0.5 * src.static.brighten
+        if has_alpha:
+            alpha = px[..., -1]
+            grey = _grey_project(px[..., :nch - 1])
+            q = alpha * _quality(grey, optimum, kind)
+            safe_a = jnp.where(alpha > 1e-6, alpha, 1.0)
+            colour = jnp.where((alpha > 1e-6)[..., None],
+                               px[..., :nch - 1] / safe_a[..., None], 0.0)
+            contrib = colour * q[..., None]
+            alpha_max = alpha if alpha_max is None else \
+                jnp.maximum(alpha_max, alpha)
+        else:
+            grey = _grey_project(px)
+            q = _quality(grey, optimum, kind)
+            contrib = px * q[..., None]
+        acc = contrib if acc is None else acc + contrib
+        qsum = q if qsum is None else qsum + q
+
+    good = (qsum > 0.0)[..., None]
+    colour = jnp.where(good, acc / jnp.where(good, qsum[..., None], 1.0),
+                       0.0)
+    if has_alpha:
+        colour = colour * alpha_max[..., None]
+        return jnp.concatenate([colour, alpha_max[..., None]], -1)
+    return colour
+
+
+SYNOPSES = {
+    "voronoi": voronoi,
+    "voronoi_plus": voronoi_plus,
+    "hdr_merge": hdr_merge,
+}
+
+
+def pick_synopsis(name: str, nch: int):
+    """panorama -> voronoi (opaque) or voronoi_plus (alpha), matching
+    roll_out (envutil_payload.cc:2298-2320)."""
+    if name == "hdr_merge":
+        return hdr_merge
+    if name == "panorama":
+        return voronoi if nch in (1, 3) else voronoi_plus
+    raise ValueError(f"unknown synopsis {name!r}")
+
+
+def twined(syn, sources, ninepacks, nch: int, spread,
+           bias: float = 1.0 / DERIV_BIAS):
+    """Apply a synopsis through a twining spread: ninepacks are
+    (p0, p10, p01) ray triples per facet; each spread coefficient
+    (cx, cy, w) deflects every facet's rays by cx*du + cy*dv (du, dv
+    differenced and implicitly scaled back up by `bias` = 1/0.25,
+    envutil_payload.cc:611-691)."""
+    derivs = []
+    for p0, p10, p01 in ninepacks:
+        du = tuple(a - b for a, b in zip(p10, p0))
+        dv = tuple(a - b for a, b in zip(p01, p0))
+        derivs.append((p0, du, dv))
+
+    out = None
+    for (cx, cy, w) in spread:
+        cx = float(cx) * bias
+        cy = float(cy) * bias
+        rays = [tuple(p + cx * u + cy * v
+                      for p, u, v in zip(p0, du, dv))
+                for (p0, du, dv) in derivs]
+        px = syn(sources, rays, nch)
+        term = float(w) * px
+        out = term if out is None else out + term
+    return out

@@ -8,7 +8,9 @@ x64 enabled so geometry property tests can assert at float64 precision
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set: the environment presets JAX_PLATFORMS=axon (the TPU tunnel),
+# which makes every tiny test dispatch cross the tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
