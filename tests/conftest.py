@@ -8,9 +8,6 @@ x64 enabled so geometry property tests can assert at float64 precision
 
 import os
 
-# hard-set: the environment presets JAX_PLATFORMS=axon (the TPU tunnel),
-# which makes every tiny test dispatch cross the tunnel
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# In this image a plugin force-sets jax_platforms to "axon,cpu" at
+# import, overriding the JAX_PLATFORMS env var - every "CPU" test
+# would silently run over the TPU tunnel. Set the config directly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
