@@ -5,16 +5,23 @@ jax.devices() provides (the driver runs this on one real TPU chip).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md: 'published: {}') and
-cannot be built in this image (no OpenImageIO), so vs_baseline uses a
-documented proxy: ~80 Mpix/s for the reference's multithreaded
-AVX2-SIMD degree-3 pipeline on a modern 8-core desktop CPU - a
-deliberately generous estimate of 'frame rendering time' for this
-config; the north-star target is 10x that per chip.
+Measures the steady-state per-chip device pipeline (ray generation +
+gates + fused Pallas spline resampling + masking), timed with a chained
+device loop so the experimental TPU tunnel's async/dispatch quirks
+can't inflate the number. Host/file I/O is excluded, matching the
+reference's 'frame rendering time' which times only the in-RAM render
+(envutil_payload.cc:476-557).
+
+The reference publishes no numbers (BASELINE.md 'published: {}') and
+cannot be built here (no OpenImageIO in the image), so vs_baseline uses
+a documented proxy: ~80 Mpix/s for its multithreaded AVX2 degree-3
+pipeline on a modern 8-core desktop CPU; the north-star target is 10x
+that per chip.
 """
 
 import json
 import math
+import sys
 import time
 
 import numpy as np
@@ -30,8 +37,10 @@ def main():
     from envutil_tpu.core.facet import Facet
     from envutil_tpu.core.metrics import get_extent, get_step
     from envutil_tpu.models import environment as E
+    from envutil_tpu.ops import pallas_resample as PR
     from envutil_tpu.runtime.args import Args
-    from envutil_tpu.runtime.render import build_plan, _render_window
+    from envutil_tpu.runtime.fastpath import _coords, _finish
+    from envutil_tpu.runtime.render import build_plan
 
     # --- fixture: 8192x4096 synthetic equirect, RGB float32 ----------
     w, h = 8192, 4096
@@ -45,9 +54,7 @@ def main():
     fct.step = get_step(Projection.SPHERICAL, w, h, 2 * math.pi)
     fct.process_geometry()
 
-    src = E.make_mount_source(fct, img, spline_degree=3,
-                              prefilter_degree=3)
-    src = jax.device_put(src)
+    src = jax.device_put(E.make_mount_source(fct, img, 3, 3))
     jax.block_until_ready(src.spl.coeff)
 
     # --- target: 6x2048 cubemap, degree 3, no twining ----------------
@@ -65,24 +72,49 @@ def main():
     args.nchannels = 3
     args.facets = [fct]
     args.solo = 0
-
     plan = build_plan(args, [fct])
-    window = (0, plan.height, 0, plan.width)
-    fn = jax.jit(lambda s: _render_window(plan, s, window))
-    out = jax.block_until_ready(fn([src]))  # compile + warm up
 
-    n_px = plan.width * plan.height
-    runs = 10
+    window = (0, plan.height, 0, plan.width)
+    coeffp = jnp.moveaxis(src.spl.coeff, -1, 0)
+
+    # classification is per-plan static state (one-time, host side)
+    sx, sy, mask = _coords(plan, window, src)
+    origins, fast = PR.classify_tiles(
+        [np.asarray(s) for s in PR.tile_stats(sx, sy)],
+        src.spl.coeff.shape[0], src.spl.coeff.shape[1], 3, PR.LOCAL)
+    o_dev = jnp.asarray(origins)
+    frac_fast = fast.mean()
+    print(f"# fast tiles: {fast.sum()}/{fast.size}", file=sys.stderr)
+
+    def frame(src_, cp, orig, eps):
+        sx, sy, m = _coords(plan, window, src_)
+        out = PR.resample_planar(cp + eps, sx, sy, orig,
+                                 degree=3, wc=PR.LOCAL)
+        return _finish(out, m, 3, 1.0)
+
+    f1 = jax.jit(lambda s, cp, o: frame(s, cp, o, jnp.float32(0)))
+    out = jax.block_until_ready(f1(src, coeffp, o_dev))
+
+    runs = 8
+
+    @jax.jit
+    def loop(src_, cp, orig):
+        def body(i, carry):
+            img = frame(src_, cp, orig, carry * 1e-30)
+            return carry + img.ravel()[0]
+        return jax.lax.fori_loop(0, runs, body, jnp.float32(0))
+
+    float(loop(src, coeffp, o_dev))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(runs):
-        out = fn([src])
-    jax.block_until_ready(out)
+    float(loop(src, coeffp, o_dev))
     dt = (time.perf_counter() - t0) / runs
 
+    n_px = plan.width * plan.height
     mpix_s = n_px / 1e6 / dt
     print(json.dumps({
         "metric": "reprojection Mpix/s/chip (8K equirect->cubemap, "
-                  "degree-3 b-spline)",
+                  "degree-3 b-spline, fused pallas kernel; "
+                  f"{frac_fast:.0%} tiles on fast path)",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_CPU_MPIX_S, 2),

@@ -331,6 +331,30 @@ def _md_to_spline(st: SourceStatic, px, py):
     return ix - st.window_x_offset, iy - st.window_y_offset
 
 
+def source_spline_coords(src: FacetSource, ray):
+    """Continuous spline coordinates (core units, ungated) and the
+    validity mask for the given rays - the coordinate half of lookup(),
+    exposed for the Pallas fast path."""
+    st = src.static
+    if st.kind == "cubemap":
+        face, fx, fy = geo.ray_to_cubeface(*ray)
+        if st.projection == Projection.BIATAN6:
+            fx = (4.0 / math.pi) * jnp.arctan(fx)
+            fy = (4.0 / math.pi) * jnp.arctan(fy)
+        cx, cy = st.metrics.get_pickup_coordinate_px(face, fx, fy)
+        mask = jnp.ones(ray[0].shape, dtype=bool)
+        return cx, cy, mask
+    crd = _mount_planar(st, ray)
+    mask = ((crd[0] >= st.window_extent.x0)
+            & (crd[0] <= st.window_extent.x1)
+            & (crd[1] >= st.window_extent.y0)
+            & (crd[1] <= st.window_extent.y1))
+    if st.projection == Projection.RECTILINEAR:
+        mask = mask & (ray[2] > 0.0)
+    sx, sy = _md_to_spline(st, *crd)
+    return sx, sy, mask
+
+
 def lookup(src: FacetSource, ray, nch_out: int,
            with_mask: bool = True):
     """Evaluate the facet at the given rays: returns (px, mask) where

@@ -1,0 +1,313 @@
+"""Fused windowed b-spline resampling kernel (Pallas / Mosaic TPU).
+
+This is the framework's hot op - the equivalent of the reference's
+per-pixel b-spline gather (zimt/eval.h) running inside zimt::process's
+tile decomposition (zimt/wielding.h). XLA's gather lowers to ~70M
+random elements/s on TPU, ~100x below memory bandwidth; this kernel
+composes the only gather the hardware offers - the single-vreg (8, 128)
+``tpu.dynamic_gather`` (per-lane sublane shuffle / per-sublane lane
+shuffle) - into an *exact* tensor-product spline evaluation.
+
+The composition pitfall: chaining two dynamic_gathers yields
+``win[y[s, x[s,l]], x[s,l]]``, not ``win[y[s,l], x[s,l]]`` - the second
+gather reads entries the first built for other pixels. The fix used
+here: resolve the *column* axis first with a **sublane-constant column
+field**. Per output lane l, all 8 sublanes share a tap-column base
+``bxc[l] = min_s bx[s,l]``; horizontal taps run over an extended static
+range kappa = 0..K-1 of columns ``bxc+kappa`` whose per-pixel weights
+are the b-spline basis evaluated at the true distance
+``B(sx - (bxc+kappa))`` (zero outside the support, so the sum is the
+exact deg+1-tap interpolation). Because the column index is
+sublane-constant, the subsequent per-element row resolve
+(axis-0 gather by ``by + j`` over candidate row-blocks) is consistent.
+
+The output raster is tiled (128x128); each tile's source support is a
+compact window whose origin is scalar-prefetched and DMA'd HBM->VMEM.
+Tiles whose per-vreg footprints exceed the static class budgets
+(cand_r row-blocks, cand_c lane-blocks, K tap columns) - pole cores,
+seams, extreme rotations - are classified at plan time and fall back
+to the XLA path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import basis as _basis
+
+TILE_H = 128
+TILE_W = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowClass:
+    """Static per-tile source-window geometry and per-vreg budgets."""
+    win_h: int      # multiple of 8
+    win_w: int      # multiple of 128
+    cand_r: int     # candidate row-blocks of 8 per vreg
+    cand_c: int     # candidate lane-blocks of 128 per vreg
+    k_taps: int     # horizontal tap columns per pixel lane
+
+    @property
+    def name(self):
+        return (f"w{self.win_h}x{self.win_w}r{self.cand_r}"
+                f"c{self.cand_c}k{self.k_taps}")
+
+
+# general local warps (|dy/dx_out| up to ~0.4, sublane x-drift <= 4)
+LOCAL = WindowClass(win_h=384, win_w=512, cand_r=8, cand_c=3, k_taps=8)
+# gentler warps (axis-aligned reprojections): smaller budgets, faster
+ALIGNED = WindowClass(win_h=256, win_w=384, cand_r=4, cand_c=2, k_taps=6)
+
+
+def aligned_dims(hp: int, wp: int, wc: WindowClass) -> Tuple[int, int]:
+    """Coefficient-array dims after alignment padding: at least one
+    window, rows a multiple of 8, cols a multiple of 128, so that all
+    clipped window origins stay aligned."""
+    ha = max(wc.win_h, ((hp + 7) // 8) * 8)
+    wa = max(wc.win_w, ((wp + 127) // 128) * 128)
+    return ha, wa
+
+
+def _bspline_basis_jnp(degree: int, u):
+    """Cardinal b-spline basis value B_degree(u), elementwise jnp
+    (Cox-de Boor over integer knots; runs on the VPU, shared across
+    channels)."""
+    t = u + (degree + 1) * 0.5
+    vals = [jnp.where((t >= i) & (t < i + 1), 1.0, 0.0)
+            for i in range(degree + 1)]
+    for p in range(1, degree + 1):
+        nxt = []
+        for i in range(len(vals) - 1):
+            nxt.append((t - i) / p * vals[i]
+                       + ((i + 1 + p) - t) / p * vals[i + 1])
+        vals = nxt
+    return vals[0]
+
+
+def _weights_poly(t, degree):
+    m = _basis.weight_matrix(degree)
+    ws = []
+    for j in range(degree + 1):
+        acc = jnp.full_like(t, float(m[j, degree]))
+        for k in range(degree - 1, -1, -1):
+            acc = acc * t + float(m[j, k])
+        ws.append(acc)
+    return ws
+
+
+def _split(c, degree):
+    if degree % 2:
+        sel = jnp.floor(c)
+    else:
+        sel = jnp.floor(c + 0.5)
+    return sel.astype(jnp.int32), c - sel
+
+
+def _resample_kernel(origins_ref,            # scalar prefetch (nt, 2)
+                     sx_ref, sy_ref,         # (TILE_H, TILE_W) VMEM
+                     coeff_ref,              # (C, Hp, Wp) in HBM/ANY
+                     out_ref,                # (C, TILE_H, TILE_W) VMEM
+                     win_ref, sem,           # scratch: window + DMA sem
+                     *, degree: int, wc: WindowClass, nch: int,
+                     ntx: int):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tid = ti * ntx + tj
+    oy = pl.multiple_of(origins_ref[tid, 0], 8)
+    ox = pl.multiple_of(origins_ref[tid, 1], 128)
+
+    copy = pltpu.make_async_copy(
+        coeff_ref.at[:, pl.ds(oy, wc.win_h), pl.ds(ox, wc.win_w)],
+        win_ref, sem)
+    copy.start()
+    copy.wait()
+
+    n1 = degree + 1
+    off = degree // 2
+    oyf = oy.astype(jnp.float32)
+    oxf = ox.astype(jnp.float32)
+
+    def row_body(r, _):
+        sx = sx_ref[pl.ds(r * 8, 8), :] - oxf
+        sy = sy_ref[pl.ds(r * 8, 8), :] - oyf
+
+        # vertical: per-element base + exact split weights
+        sely, ty = _split(sy, degree)
+        by = sely - off
+        rb_min = jnp.min(by)
+        rb0 = jnp.clip((rb_min // 8) * 8, 0, wc.win_h - 8 * wc.cand_r)
+        rb0 = pl.multiple_of(rb0, 8)
+        ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
+        wy = _weights_poly(ty, degree)
+
+        # horizontal: sublane-constant tap base per lane
+        selx, _tx = _split(sx, degree)
+        bx = selx - off
+        bxc = jnp.broadcast_to(jnp.min(bx, axis=0, keepdims=True),
+                               (8, TILE_W))
+        cb_min = jnp.min(bxc)
+        cb0 = jnp.clip((cb_min // 128) * 128, 0,
+                       wc.win_w - 128 * wc.cand_c)
+        cb0 = pl.multiple_of(cb0, 128)
+        lxc = jnp.clip(bxc - cb0, 0, 128 * wc.cand_c - 1)
+
+        # per-(kappa) horizontal weights: exact basis at true distance
+        bxcf = bxc.astype(jnp.float32)
+        wk = [_bspline_basis_jnp(degree, sx - (bxcf + k))
+              for k in range(wc.k_taps)]
+        # combined (j, kappa) weights, shared across channels
+        wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
+               for j in range(n1)]
+
+        rr = [(ly + j) & 7 for j in range(n1)]
+        qb = [(ly + j) >> 3 for j in range(n1)]
+
+        for ch in range(nch):
+            blocks = [
+                [win_ref[ch, pl.ds(rb0 + 8 * b, 8),
+                         pl.ds(cb0 + 128 * cc, 128)]
+                 for cc in range(wc.cand_c)]
+                for b in range(wc.cand_r)
+            ]
+            acc = jnp.zeros((8, TILE_W), jnp.float32)
+            for k in range(wc.k_taps):
+                cx = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
+                qc = cx >> 7
+                rc = cx & 127
+                # column-resolved raw rows, all candidate row-blocks
+                tb = []
+                for b in range(wc.cand_r):
+                    v = jnp.take_along_axis(blocks[b][0], rc, axis=1)
+                    for cc in range(1, wc.cand_c):
+                        g = jnp.take_along_axis(blocks[b][cc], rc,
+                                                axis=1)
+                        v = jnp.where(qc == cc, g, v)
+                    tb.append(v)
+                # per-element row resolve for each vertical tap
+                for j in range(n1):
+                    v = jnp.take_along_axis(tb[0], rr[j], axis=0)
+                    for b in range(1, wc.cand_r):
+                        g = jnp.take_along_axis(tb[b], rr[j], axis=0)
+                        v = jnp.where(qb[j] == b, g, v)
+                    acc = acc + wjk[j][k] * v
+            out_ref[ch, pl.ds(r * 8, 8), :] = acc
+        return _
+
+    jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "wc", "interpret"))
+def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
+                    origins: jnp.ndarray, *, degree: int,
+                    wc: WindowClass = LOCAL,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Evaluate the spline held in planar padded coefficients ``coeff``
+    (C, Hp, Wp) at continuous padded-array coordinates (sx, sy), both
+    (H, W) with H % 128 == W % 128 == 0. ``origins`` is int32 (nt, 2)
+    with per-tile window origins (oy, ox), oy % 8 == 0, ox % 128 == 0,
+    in bounds. Returns (C, H, W) float32. Tiles must satisfy the
+    window-class budgets (see classify_tiles); others produce clamped
+    garbage and must be overwritten by the fallback path."""
+    nch, hp, wp = coeff.shape
+    ha, wa = aligned_dims(hp, wp, wc)
+    if (ha, wa) != (hp, wp):
+        coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
+                        mode="edge")
+        nch, hp, wp = coeff.shape
+    h, w = sx.shape
+    nty, ntx = h // TILE_H, w // TILE_W
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, o: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, o: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((nch, TILE_H, TILE_W),
+                               lambda i, j, o: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nch, wc.win_h, wc.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(_resample_kernel, degree=degree, wc=wc,
+                             nch=nch, ntx=ntx)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nch, h, w), jnp.float32),
+        interpret=interpret,
+    )(origins, sx, sy, coeff)
+
+
+# ---------------------------------------------------------------------------
+# tile classification (host side, from per-vreg coordinate statistics
+# computed by one cheap XLA reduction)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def tile_stats(sx: jnp.ndarray, sy: jnp.ndarray):
+    """Per-vreg (8x128) statistics needed by classify_tiles."""
+    h, w = sx.shape
+    vx = sx.reshape(h // 8, 8, w // 128, 128)
+    vy = sy.reshape(h // 8, 8, w // 128, 128)
+    # per-lane sublane drift of x (the K-tap budget consumer)
+    drift = (jnp.max(vx, axis=1) - jnp.min(vx, axis=1)).max(axis=-1)
+    return (jnp.min(vy, axis=(1, 3)), jnp.max(vy, axis=(1, 3)),
+            jnp.min(vx, axis=(1, 3)), jnp.max(vx, axis=(1, 3)), drift)
+
+
+def classify_tiles(stats, hp: int, wp: int, degree: int,
+                   wc: WindowClass = LOCAL):
+    """Host-side: per-tile window origins + fast mask. A tile is fast
+    when its tap footprint fits one window and every vreg fits the
+    class budgets (row candidates, lane candidates, tap columns)."""
+    min_y, max_y, min_x, max_x, drift = [np.asarray(s) for s in stats]
+    hp, wp = aligned_dims(hp, wp, wc)  # match the wrapper's padding
+    nvy, nvx = min_y.shape
+    nty, ntx = nvy // (TILE_H // 8), nvx // (TILE_W // 128)
+    off = degree // 2
+
+    def tile_view(a):
+        return a.reshape(nty, TILE_H // 8, ntx, TILE_W // 128)
+
+    t_min_y = tile_view(min_y).min(axis=(1, 3))
+    t_max_y = tile_view(max_y).max(axis=(1, 3))
+    t_min_x = tile_view(min_x).min(axis=(1, 3))
+    t_max_x = tile_view(max_x).max(axis=(1, 3))
+
+    lo_y = np.floor(t_min_y).astype(np.int64) - off
+    hi_y = np.floor(t_max_y).astype(np.int64) - off + degree
+    lo_x = np.floor(t_min_x).astype(np.int64) - off
+    hi_x = np.floor(t_max_x).astype(np.int64) - off + degree
+
+    oy = np.clip((lo_y // 8) * 8, 0, max(hp - wc.win_h, 0))
+    ox = np.clip((lo_x // 128) * 128, 0, max(wp - wc.win_w, 0))
+    fits = ((hi_y - oy) < wc.win_h) & ((hi_x - ox) < wc.win_w) \
+        & (lo_y >= oy) & (lo_x >= ox)
+
+    # per-vreg budgets (worst-case alignment slack included)
+    span_y = (np.floor(max_y) - ((np.floor(min_y).astype(np.int64)
+                                  - off) // 8) * 8 - off + degree)
+    span_x = (np.floor(max_x) - ((np.floor(min_x).astype(np.int64)
+                                  - off) // 128) * 128 - off + degree)
+    vreg_ok = (span_y < 8 * wc.cand_r - degree) \
+        & (span_x < 128 * wc.cand_c) \
+        & (np.floor(drift) + degree + 2 <= wc.k_taps)
+    t_vreg_ok = tile_view(vreg_ok).all(axis=(1, 3))
+
+    fast = fits & t_vreg_ok
+    origins = np.stack([oy, ox], axis=-1).reshape(-1, 2).astype(np.int32)
+    return origins, fast

@@ -239,7 +239,29 @@ def render_frame(plan: RenderPlan, sources: List[E.FacetSource],
                  amplify: Optional[float] = None) -> np.ndarray:
     """Run a frame: possibly in row strips (memory bound), returns the
     host-side (H, W, C) float32 array. Timing is reported like the
-    reference's 'frame rendering time' (envutil_payload.cc:546-557)."""
+    reference's 'frame rendering time' (envutil_payload.cc:546-557).
+
+    Qualifying single-facet renders route through the fused Pallas
+    kernel (runtime/fastpath.py); everything else uses the XLA graph."""
+    from . import fastpath
+
+    start0 = time.perf_counter()
+    fast = fastpath.render_fast(
+        plan, sources,
+        lambda w: _compiled_window(plan, w)(sources),
+        verbose=verbose)
+    if fast is not None:
+        if amplify is not None:
+            fast = np.asarray(E.apply_brighten(jnp.asarray(fast),
+                                               amplify))
+        msec = (time.perf_counter() - start0) * 1000.0
+        if verbose:
+            n_px = fast.shape[0] * fast.shape[1]
+            print(f"frame rendering time: {msec:.1f} ms "
+                  f"({n_px / 1e6 / (msec / 1000.0):.1f} Mpix/s)")
+        render_frame.last_ms = msec
+        return fast
+
     if plan.crop is not None:
         y0, y1, x0, x1 = plan.crop
     else:
