@@ -1,0 +1,149 @@
+"""End-to-end job-mode tests through the CLI core: PTO multi-facet
+stitching, --single/--split re-creation, --mask_for, --solo, streaming
+asset reuse. Small rasters, CPU."""
+
+import math
+import textwrap
+
+import numpy as np
+import pytest
+
+from envutil_tpu.io import imgio
+from envutil_tpu.runtime import assets
+from envutil_tpu.runtime.cli import core
+
+
+@pytest.fixture(autouse=True)
+def _clear_assets():
+    assets.cache.clear()
+    yield
+    assets.cache.clear()
+
+
+def synthetic_equirect(w=256, h=128):
+    lon = (np.arange(w) + 0.5) / w * 2 * math.pi - math.pi
+    lat = (np.arange(h) + 0.5) / h * math.pi - math.pi / 2
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = 0.5 + 0.4 * np.sin(3 * lon[None, :]) * np.cos(lat[:, None])
+    img[..., 1] = 0.5 + 0.4 * np.cos(2 * lon[None, :]) * np.cos(2 * lat[:, None])
+    img[..., 2] = 0.5 + 0.4 * np.sin(lat[:, None])
+    return img
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 10 * math.log10(1.0 / mse) if mse > 0 else 999.0
+
+
+def test_pto_two_facet_voronoi(tmp_path):
+    env = synthetic_equirect()
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+    # two rectilinear facets extracted from the environment...
+    for i, yaw in enumerate((-20.0, 20.0)):
+        core(["--input", str(tmp_path / "env.exr"), "--output",
+              str(tmp_path / f"f{i}.exr"), "--projection", "rectilinear",
+              "--hfov", "60", "--width", "96", "--height", "96",
+              "--yaw", str(yaw), "--twine", "0"])
+    # ...then stitched back into a small pano via a PTO script
+    ptof = tmp_path / "stitch.pto"
+    ptof.write_text(textwrap.dedent(f"""\
+        p f2 w192 h96 v100
+        i w96 h96 f0 v60 y-20 p0 r0 n"{tmp_path}/f0.exr"
+        i w96 h96 f0 v60 y20 p0 r0 n"{tmp_path}/f1.exr"
+        """))
+    core(["--pto", str(ptof), "--output", str(tmp_path / "pano.exr"),
+          "--twine", "0"])
+    pano = imgio.read_image(str(tmp_path / "pano.exr"))
+    assert pano.shape == (96, 192, 3)
+    # compare against a direct render of the same view from the env
+    core(["--input", str(tmp_path / "env.exr"), "--output",
+          str(tmp_path / "direct.exr"), "--projection", "spherical",
+          "--hfov", "100", "--width", "192", "--height", "96",
+          "--twine", "0"])
+    direct = imgio.read_image(str(tmp_path / "direct.exr"))
+    # compare the central region covered by both facets
+    p = psnr(pano[20:-20, 40:-40], direct[20:-20, 40:-40])
+    assert p > 30.0, f"stitch vs direct PSNR {p:.1f} dB"
+
+
+def test_single_recreation_roundtrip(tmp_path):
+    # render a facet from the env, stitch-earth it back with --single:
+    # re-created facet must match the original extraction
+    env = synthetic_equirect()
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+    core(["--input", str(tmp_path / "env.exr"), "--output",
+          str(tmp_path / "view.exr"), "--projection", "rectilinear",
+          "--hfov", "70", "--width", "96", "--height", "96",
+          "--yaw", "15", "--pitch", "5", "--twine", "0"])
+    ptof = tmp_path / "one.pto"
+    ptof.write_text(textwrap.dedent(f"""\
+        i w256 h128 f4 v360 y0 p0 r0 n"{tmp_path}/env.exr"
+        i w96 h96 f0 v70 y15 p5 r0 n"{tmp_path}/view.exr"
+        """))
+    core(["--pto", str(ptof), "--output", str(tmp_path / "single.exr"),
+          "--single", "1", "--solo", "0", "--twine", "0"])
+    re_created = imgio.read_image(str(tmp_path / "single.exr"))
+    original = imgio.read_image(str(tmp_path / "view.exr"))
+    p = psnr(re_created, original)
+    assert re_created.shape == original.shape
+    assert p > 35.0, f"--single re-creation PSNR {p:.1f} dB"
+
+
+def test_split_mode(tmp_path):
+    env = synthetic_equirect()
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+    # facet sizes come from the image files (get_image_metrics), so
+    # facet 1 needs a real 64x64 file
+    small = np.full((64, 64, 3), 0.5, np.float32)
+    imgio.save_image(str(tmp_path / "small.exr"), small)
+    ptof = tmp_path / "two.pto"
+    ptof.write_text(textwrap.dedent(f"""\
+        i w256 h128 f4 v360 y0 p0 r0 n"{tmp_path}/env.exr"
+        i w64 h64 f0 v60 y30 p0 r0 n"{tmp_path}/small.exr"
+        """))
+    core(["--pto", str(ptof), "--split", str(tmp_path / "part_%d.exr"),
+          "--solo", "0", "--twine", "0"])
+    # facet 0 is the solo facet -> skipped; facet 1 re-created
+    assert not (tmp_path / "part_0.exr").exists()
+    part1 = imgio.read_image(str(tmp_path / "part_1.exr"))
+    assert part1.shape == (64, 64, 3)
+    assert np.isfinite(part1).all() and part1.std() > 0.01
+
+
+def test_mask_for(tmp_path):
+    env = synthetic_equirect()
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+    view = np.full((64, 64, 3), 0.25, np.float32)
+    imgio.save_image(str(tmp_path / "v.exr"), view)
+    ptof = tmp_path / "m.pto"
+    ptof.write_text(textwrap.dedent(f"""\
+        p f2 w128 h64 v360
+        i w256 h128 f4 v360 y0 p0 r0 n"{tmp_path}/env.exr"
+        i w64 h64 f0 v60 y0 p0 r0 n"{tmp_path}/v.exr"
+        """))
+    core(["--pto", str(ptof), "--output", str(tmp_path / "mask.exr"),
+          "--mask_for", "1", "--nchannels", "1", "--twine", "0"])
+    mask = imgio.read_image(str(tmp_path / "mask.exr"))
+    # white where facet 1 wins (center front), black elsewhere
+    assert mask[32, 64] > 0.9
+    assert mask[32, 5] < 0.1
+    assert mask[5, 64] < 0.1
+
+
+def test_streaming_asset_reuse(tmp_path, capsys):
+    env = synthetic_equirect()
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+    base = ["--input", str(tmp_path / "env.exr"), "--projection",
+            "rectilinear", "--hfov", "60", "--width", "64", "--twine",
+            "0", "-v"]
+    core(base + ["--output", str(tmp_path / "a.exr"), "--yaw", "0"])
+    out1 = capsys.readouterr().out
+    assert "loaded" in out1
+    core(base + ["--output", str(tmp_path / "b.exr"), "--yaw", "10"])
+    out2 = capsys.readouterr().out
+    assert "already present in RAM" in out2
