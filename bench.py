@@ -57,6 +57,18 @@ def main():
     src = jax.device_put(E.make_mount_source(fct, img, 3, 3))
     jax.block_until_ready(src.spl.coeff)
 
+    # attach the fast-path variants (seam roll + pitched pole patch),
+    # like the loader does for real jobs
+    from envutil_tpu.runtime.loader import _attach_variants
+
+    class _A:
+        verbose = False
+        precise = False
+        spline_degree = 3
+        prefilter_degree = 3
+    _attach_variants(src, fct, _A())
+    jax.block_until_ready(src.variants)
+
     # --- target: 6x2048 cubemap, degree 3, no twining ----------------
     args = Args()
     args.projection = Projection.CUBEMAP
@@ -75,38 +87,62 @@ def main():
     plan = build_plan(args, [fct])
 
     window = (0, plan.height, 0, plan.width)
-    coeffp = jnp.moveaxis(src.spl.coeff, -1, 0)
 
-    # classification is per-plan static state (one-time, host side)
-    sx, sy, mask = _coords(plan, window, src)
-    origins, fast = PR.classify_tiles(
-        [np.asarray(s) for s in PR.tile_stats(sx, sy)],
-        src.spl.coeff.shape[0], src.spl.coeff.shape[1], 3, PR.LOCAL)
-    o_dev = jnp.asarray(origins)
-    frac_fast = fast.mean()
-    print(f"# fast tiles: {fast.sum()}/{fast.size}", file=sys.stderr)
+    # per-plan static state (one-time, host side): classify tiles for
+    # every (variant, window class) like the real fast path
+    from envutil_tpu.runtime.fastpath import _variant_names, \
+        _variant_spline
+    names = _variant_names(src)
+    assigned = np.full((plan.height // PR.TILE_H,
+                        plan.width // PR.TILE_W), -1, np.int32)
+    passes = []
+    for name in names:
+        sx, sy, m = _coords(plan, window, name, src)
+        spl = _variant_spline(src, name)
+        stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
+        for wc in (PR.LOCAL, PR.DIAG):
+            origins, fast = PR.classify_tiles(
+                stats, spl.coeff.shape[0], spl.coeff.shape[1], 3, wc)
+            take = fast & (assigned < 0)
+            if take.any():
+                assigned[take] = len(passes)
+                org3 = np.concatenate(
+                    [origins, take.reshape(-1, 1).astype(np.int32)], 1)
+                passes.append((name, wc, jnp.asarray(org3)))
+    frac_fast = (assigned >= 0).mean()
+    print(f"# fused tiles: {(assigned >= 0).sum()}/{assigned.size} in "
+          f"{len(passes)} passes", file=sys.stderr)
+    sel_full = jnp.asarray(np.repeat(np.repeat(assigned, PR.TILE_H, 0),
+                                     PR.TILE_W, 1))
+    coeffs = {n: jnp.moveaxis(_variant_spline(src, n).coeff, -1, 0)
+              for n in names}
 
-    def frame(src_, cp, orig, eps):
-        sx, sy, m = _coords(plan, window, src_)
-        out = PR.resample_planar(cp + eps, sx, sy, orig,
-                                 degree=3, wc=PR.LOCAL)
-        return _finish(out, m, 3, 1.0)
+    def frame(src_, cps, eps):
+        combined = None
+        for pi, (name, wc, org3) in enumerate(passes):
+            sx, sy, m = _coords(plan, window, name, src_)
+            out = PR.resample_planar(cps[name] + eps, sx, sy, org3,
+                                     degree=3, wc=wc)
+            img_v = _finish(out, m, 3, 1.0)
+            combined = img_v if combined is None else \
+                jnp.where((sel_full == pi)[..., None], img_v, combined)
+        return combined
 
-    f1 = jax.jit(lambda s, cp, o: frame(s, cp, o, jnp.float32(0)))
-    out = jax.block_until_ready(f1(src, coeffp, o_dev))
+    f1 = jax.jit(lambda s, cps: frame(s, cps, jnp.float32(0)))
+    out = jax.block_until_ready(f1(src, coeffs))
 
     runs = 8
 
     @jax.jit
-    def loop(src_, cp, orig):
+    def loop(src_, cps):
         def body(i, carry):
-            img = frame(src_, cp, orig, carry * 1e-30)
+            img = frame(src_, cps, carry * 1e-30)
             return carry + img.ravel()[0]
         return jax.lax.fori_loop(0, runs, body, jnp.float32(0))
 
-    float(loop(src, coeffp, o_dev))  # compile + warm
+    float(loop(src, coeffs))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(src, coeffp, o_dev))
+    float(loop(src, coeffs))
     dt = (time.perf_counter() - t0) / runs
 
     n_px = plan.width * plan.height

@@ -80,13 +80,18 @@ class SourceStatic:
 class FacetSource:
     static: SourceStatic
     spl: Optional[S.Spline2D]
+    # optional re-parametrized coefficient tables for the Pallas fast
+    # path: "rolled" (exact, seam moved to image center) and "pitched" /
+    # "pitched_rolled" (approximate 90-degree pitched copies that make
+    # pole lookups window-local). See runtime/fastpath.py.
+    variants: dict = dataclasses.field(default_factory=dict)
 
     def tree_flatten(self):
-        return (self.spl,), self.static
+        return (self.spl, self.variants), self.static
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux, children[0])
+        return cls(aux, children[0], children[1])
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,59 @@ def planar_axis(n: int, lo: float, hi: float, bias: float,
     return (b + ll * fx1 + (2.0 * n - ll) * fx0).astype(dtype)
 
 
+def planar_axis_dyn(n: int, lo: float, hi: float, bias: float,
+                    size: int, origin, dtype=jnp.float32):
+    """Traced edge-to-edge sample positions for a window of ``size``
+    samples starting at (traced) index ``origin`` of an n-sample axis -
+    the dynamic-origin analogue of planar_axis, used for per-tile
+    fallback rendering."""
+    i = jnp.arange(size, dtype=jnp.float64 if dtype == np.float64
+                   else jnp.float32) + origin.astype(jnp.float32)
+    ll = 2.0 * i + 1.0
+    fx0 = lo / (2.0 * n)
+    fx1 = hi / (2.0 * n)
+    b = bias * (hi - lo) / n
+    return (b + ll * fx1 + (2.0 * n - ll) * fx0).astype(dtype)
+
+
+def planar_grid_dyn(width: int, height: int, extent, size, origin,
+                    bias=(0.0, 0.0), dtype=jnp.float32):
+    """planar_grid with a traced window origin (oy, ox) and static
+    window size (th, tw)."""
+    th, tw = size
+    oy, ox = origin
+    xs = planar_axis_dyn(width, extent.x0, extent.x1, bias[0], tw, ox,
+                         dtype)
+    ys = planar_axis_dyn(height, extent.y0, extent.y1, bias[1], th, oy,
+                         dtype)
+    px = jnp.broadcast_to(xs[None, :], (th, tw))
+    py = jnp.broadcast_to(ys[:, None], (th, tw))
+    return px, py
+
+
+def target_rays_dyn(projection: Projection, width: int, height: int,
+                    extent, size, origin,
+                    basis=None, normalize=True,
+                    planar_to_ray=None, bias=(0.0, 0.0)):
+    """target_rays with a traced window origin (for tile-granular
+    fallback rendering)."""
+    px, py = planar_grid_dyn(width, height, extent, size, origin, bias)
+    if planar_to_ray is not None:
+        ray = planar_to_ray(px, py)
+    elif projection in (Projection.CUBEMAP, Projection.BIATAN6):
+        rows = (jnp.arange(size[0])[:, None] + origin[0])
+        rows = jnp.broadcast_to(rows, px.shape)
+        ray = _cubemap_target_rays(projection, width, height, extent,
+                                   px, py, rows)
+    else:
+        ray = geo.to_ray(projection)(px, py)
+    if basis is not None:
+        ray = geo.apply_matrix(basis, *ray)
+    if normalize:
+        ray = geo.normalize(*ray)
+    return ray
+
+
 def planar_grid(width: int, height: int, extent, bias=(0.0, 0.0),
                 dtype=np.float32, window=None):
     """SoA planar coordinate grid (px, py), each (H, W) (or the window's

@@ -65,6 +65,9 @@ class WindowClass:
 LOCAL = WindowClass(win_h=384, win_w=512, cand_r=8, cand_c=3, k_taps=8)
 # gentler warps (axis-aligned reprojections): smaller budgets, faster
 ALIGNED = WindowClass(win_h=256, win_w=384, cand_r=4, cand_c=2, k_taps=6)
+# diagonal warps (e.g. 90-degree-pitched equirect re-parametrization):
+# ~8x the per-tile cost, used for per-asset preprocessing builds
+DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3, k_taps=16)
 
 
 def aligned_dims(hp: int, wp: int, wc: WindowClass) -> Tuple[int, int]:
@@ -121,14 +124,18 @@ def _resample_kernel(origins_ref,            # scalar prefetch (nt, 2)
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tid = ti * ntx + tj
-    oy = pl.multiple_of(origins_ref[tid, 0], 8)
-    ox = pl.multiple_of(origins_ref[tid, 1], 128)
+    # origins is flat (nt*3,): 2D SMEM arrays get lane-padded to 128
+    oy = pl.multiple_of(origins_ref[tid * 3], 8)
+    ox = pl.multiple_of(origins_ref[tid * 3 + 1], 128)
+    active = origins_ref[tid * 3 + 2]
 
-    copy = pltpu.make_async_copy(
-        coeff_ref.at[:, pl.ds(oy, wc.win_h), pl.ds(ox, wc.win_w)],
-        win_ref, sem)
-    copy.start()
-    copy.wait()
+    @pl.when(active != 0)
+    def _do_copy():
+        copy = pltpu.make_async_copy(
+            coeff_ref.at[:, pl.ds(oy, wc.win_h), pl.ds(ox, wc.win_w)],
+            win_ref, sem)
+        copy.start()
+        copy.wait()
 
     n1 = degree + 1
     off = degree // 2
@@ -201,7 +208,9 @@ def _resample_kernel(origins_ref,            # scalar prefetch (nt, 2)
             out_ref[ch, pl.ds(r * 8, 8), :] = acc
         return _
 
-    jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
+    @pl.when(active != 0)
+    def _do_rows():
+        jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("degree", "wc", "interpret"))
@@ -211,9 +220,10 @@ def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """Evaluate the spline held in planar padded coefficients ``coeff``
     (C, Hp, Wp) at continuous padded-array coordinates (sx, sy), both
-    (H, W) with H % 128 == W % 128 == 0. ``origins`` is int32 (nt, 2)
-    with per-tile window origins (oy, ox), oy % 8 == 0, ox % 128 == 0,
-    in bounds. Returns (C, H, W) float32. Tiles must satisfy the
+    (H, W) with H % 128 == W % 128 == 0. ``origins`` is int32 (nt, 3)
+    with per-tile (oy, ox, active), oy % 8 == 0, ox % 128 == 0, in
+    bounds (flattened internally - 2D SMEM prefetch arrays would be
+    lane-padded). Returns (C, H, W) float32. Tiles must satisfy the
     window-class budgets (see classify_tiles); others produce clamped
     garbage and must be overwritten by the fallback path."""
     nch, hp, wp = coeff.shape
@@ -245,6 +255,12 @@ def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     )
     kern = functools.partial(_resample_kernel, degree=degree, wc=wc,
                              nch=nch, ntx=ntx)
+    if origins.ndim == 2:
+        if origins.shape[1] == 2:  # no active column: all tiles on
+            origins = jnp.concatenate(
+                [origins, jnp.ones((origins.shape[0], 1), jnp.int32)],
+                axis=1)
+        origins = origins.reshape(-1)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nch, h, w), jnp.float32),

@@ -223,10 +223,11 @@ class Spline2D:
     degree: int
     bcs: tuple
     core_shape: tuple
+    spherical: bool = False   # built with the over-the-pole brace
 
     def tree_flatten(self):
         return (self.coeff,), (self.pad, self.degree, self.bcs,
-                               self.core_shape)
+                               self.core_shape, self.spherical)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -257,7 +258,29 @@ def make_spline(image: jnp.ndarray, spline_degree: int,
         c = extend_axis(c, 0, pad, pad, bcs[0])
         c = extend_axis(c, 1, pad, pad, bcs[1])
     return Spline2D(coeff=c, pad=pad, degree=spline_degree,
-                    bcs=tuple(bcs), core_shape=image.shape[:2])
+                    bcs=tuple(bcs), core_shape=image.shape[:2],
+                    spherical=spherical)
+
+
+def rolled_spline(spl: Spline2D, shift: int | None = None) -> Spline2D:
+    """Exact re-parametrization of a horizontally PERIODIC spline:
+    roll the core coefficients by ``shift`` columns (default W/2) and
+    re-brace. Used to move the lon seam to the image center so that
+    seam-crossing tiles become window-local for the fused kernel."""
+    assert spl.bcs[1] == PERIODIC, "rolled_spline needs a periodic axis"
+    h, w = spl.core_shape
+    if shift is None:
+        shift = w // 2
+    core = spl.coeff[spl.pad:spl.pad + h, spl.pad:spl.pad + w]
+    core = jnp.roll(core, -shift, axis=1)
+    pad = spl.pad
+    if spl.spherical:
+        c = spherical_brace(core, pad, pad)
+    else:
+        c = extend_axis(core, 0, pad, pad, spl.bcs[0])
+        c = extend_axis(c, 1, pad, pad, spl.bcs[1])
+    return Spline2D(coeff=c, pad=pad, degree=spl.degree, bcs=spl.bcs,
+                    core_shape=spl.core_shape, spherical=spl.spherical)
 
 
 def make_spline_from_coeffs(coeffs: jnp.ndarray, spline_degree: int,

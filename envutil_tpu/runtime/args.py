@@ -68,6 +68,7 @@ class Args(Facet):
     twf_file: str = ""
     twine_normalize: bool = False
     twine_precise: bool = False
+    precise: bool = False
     twine_width: float = 1.0
     twine_density: float = 1.0
     twine_sigma: float = 0.0
@@ -186,6 +187,8 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--twf_file", default="")
     ap.add_argument("--twine_normalize", action="store_true")
     ap.add_argument("--twine_precise", action="store_true")
+    ap.add_argument("--precise", action="store_true",
+                    help="disable approximate accelerations (pole-patch source copies)")
     ap.add_argument("--twine_width", type=float, default=1.0)
     ap.add_argument("--twine_density", type=float, default=1.0)
     ap.add_argument("--twine_sigma", type=float, default=0.0)
@@ -407,6 +410,7 @@ def parse_args(argv: List[str]) -> Args:
     args.twine = ns.twine
     args.twine_normalize = ns.twine_normalize
     args.twine_precise = ns.twine_precise
+    args.precise = ns.precise
     args.twine_width = ns.twine_width
     args.twine_density = ns.twine_density
     args.twine_sigma = ns.twine_sigma

@@ -1,40 +1,60 @@
-"""Fast single-facet render path: Pallas windowed resampling.
+"""Fast single-facet render path: Pallas windowed resampling with
+source-variant routing.
 
-Routes qualifying renders (one facet, no twining, normal lookup) through
-the fused Pallas kernel (ops/pallas_resample.py) instead of the XLA
-gather path - the difference is ~100x on TPU. The pipeline:
+Routes qualifying renders (one facet, no twining, normal lookup)
+through the fused Pallas kernel (ops/pallas_resample.py) instead of the
+XLA gather path - ~100x on TPU. Pipeline:
 
-  1. one jitted elementwise pass computes per-pixel spline coordinates
-     (stepper + projection + gates) and the validity mask,
-  2. one jitted reduction produces per-vreg coordinate statistics,
-  3. host-side tile classification picks window origins and flags
-     tiles whose support exceeds the static window budget (pole cores,
-     seams, extreme rotations),
-  4. the Pallas kernel renders everything; a second XLA pass renders
-     only the bad tiles' row bands, which overwrite the garbage,
-  5. a final elementwise pass applies mask, channel adaptation and
-     brighten.
+  1. a jitted elementwise pass computes per-pixel spline coordinates
+     (stepper + projection + gates) and the validity mask - once per
+     source *variant*;
+  2. a jitted reduction produces per-vreg coordinate statistics;
+  3. host-side tile classification assigns each output tile the first
+     variant whose window budget it fits:
+       * "orig":   the facet's own coefficients,
+       * "rolled": seam moved to the image center (exact
+         re-parametrization of the periodic axis) - fixes tiles that
+         straddle the lon wrap,
+       * "pitched"/"pitched_rolled": a 90-degree pitched copy of full
+         sphericals (approximate: one extra resampling) - makes pole
+         lookups window-local; built once per asset, disabled by
+         --precise;
+  4. one Pallas pass per used variant renders only its tiles (per-tile
+     active flags skip the rest);
+  5. tiles no variant can serve are re-rendered one by one through the
+     XLA path with a dynamic-origin tile renderer (one compiled
+     program, many dispatches);
+  6. a final elementwise pass applies mask, channel adaptation,
+     brighten, and the per-tile variant selection.
 
-This mirrors the reference's architecture at a different granularity:
-the classifier is the analogue of the coarse masking/tiling idea the
-reference documents for facet preselection (envutil_payload.cc:744-758),
-and the window DMA is the IR 'support makes lookups window-local'
-principle (cubemap.h:39-50) applied to every source.
+This mirrors the reference's own design principles at TPU granularity:
+the classifier is its coarse-mask/tiling idea (envutil_payload.cc:
+744-758), the window DMA its IR 'support makes lookups window-local'
+principle (cubemap.h:39-50), and the pitched copy its stacked-halves
+over-the-pole treatment (environment.h:326-354) promoted to a full
+re-parametrization.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import geometry as geo
+from ..core.rotation import rotation_rpy
 from ..models import environment as E
 from ..models import stepper as ST
 from ..ops import pallas_resample as PR
 from ..ops import spline as S
+
+# the camera basis used to build pitched copies (see loader): the
+# pitched image I' satisfies I'(p') = I(PITCH_BASIS @ ray(p'))
+PITCH_BASIS = rotation_rpy(0.0, math.pi / 2, 0.0)
 
 
 def _round_up(x, m):
@@ -56,18 +76,38 @@ def eligible(plan, sources) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("plan", "window"))
-def _coords(plan, window, src):
-    """Per-pixel padded spline coordinates + mask for the (padded)
-    output raster."""
+def _variant_names(src) -> List[str]:
+    return ["orig"] + [n for n in ("rolled", "pitched", "pitched_rolled")
+                       if n in src.variants]
+
+
+def _variant_spline(src, name):
+    return src.spl if name == "orig" else src.variants[name]
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "window", "name"))
+def _coords(plan, window, name, src):
+    """Per-pixel padded spline coordinates + mask for one variant."""
     ray = ST.target_rays(plan.projection, plan.width, plan.height,
                          plan.extent, basis=plan.bases[0],
                          normalize=True,
                          planar_to_ray=plan.planar_to_ray[0],
                          window=window)
+    if name.startswith("pitched"):
+        ray = geo.apply_matrix(PITCH_BASIS.T, *ray)
     sx, sy, mask = E.source_spline_coords(src, ray)
-    spl = src.spl
+    spl = _variant_spline(src, name)
     h, w = spl.core_shape
+    # variants may be oversampled copies (pole patch at 2x): rescale
+    # the pixel-center coordinates
+    rw = w / src.static.total_width
+    rh = h / src.static.total_height
+    if rw != 1.0:
+        sx = (sx + 0.5) * rw - 0.5
+    if rh != 1.0:
+        sy = (sy + 0.5) * rh - 0.5
+    if name.endswith("rolled"):
+        sx = sx + w / 2.0
     sx = S.gate(sx, spl.bcs[1], w) + spl.pad
     sy = S.gate(sy, spl.bcs[0], h) + spl.pad
     return sx, sy, mask
@@ -83,8 +123,107 @@ def _finish(px_planar, mask, nch_out, brighten):
     return px
 
 
-def render_fast(plan, sources, render_window_fn,
-                verbose: bool = False) -> Optional[np.ndarray]:
+@functools.partial(jax.jit, static_argnames=("degree",))
+def _eval_tile_xla(coeff, sx, sy, origin, degree):
+    """Exact XLA spline evaluation of one (TILE_H, TILE_W) tile at a
+    traced origin into the padded coordinate arrays - the generic
+    per-tile fallback (one compiled program reused for all bad tiles)."""
+    oy, ox = origin
+    sxt = jax.lax.dynamic_slice(sx, (oy, ox), (PR.TILE_H, PR.TILE_W))
+    syt = jax.lax.dynamic_slice(sy, (oy, ox), (PR.TILE_H, PR.TILE_W))
+    spl = S.Spline2D(coeff=coeff, pad=0, degree=degree,
+                     bcs=(S.CONSTANT, S.CONSTANT),
+                     core_shape=coeff.shape[:2])
+    return S.eval_spline(spl, sxt, syt, apply_gate=False)
+
+
+def resample_variants(variants, coords, out_shape, nch_out: int,
+                      brighten: float, classes, verbose: bool = False):
+    """Core of the fast path, also used for per-asset preprocessing
+    builds: resample through a list of source variants.
+
+    variants: list of (name, Spline2D); coords: matching list of
+    (sx, sy, mask) padded+gated coordinate arrays (H, W). Each output
+    tile is assigned the first (variant, window-class) pair whose
+    budgets it fits; one Pallas pass per used pair; remaining tiles are
+    evaluated exactly by the XLA fallback at the first variant's
+    coordinates. Returns the finished (H, W, nch_out) numpy image, or
+    None if nothing fused."""
+    h, w = out_shape
+    nty, ntx = h // PR.TILE_H, w // PR.TILE_W
+    assigned = np.full((nty, ntx), -1, np.int32)
+    passes = []
+    for vi, ((name, spl), (sx, sy, mask)) in enumerate(zip(variants,
+                                                           coords)):
+        stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
+        hp, wp = spl.coeff.shape[0], spl.coeff.shape[1]
+        for wc in classes:
+            origins, fast = PR.classify_tiles(stats, hp, wp,
+                                              spl.degree, wc)
+            take = fast & (assigned < 0)
+            if take.any():
+                assigned[take] = len(passes)
+                passes.append((vi, wc, origins, take))
+            if (assigned >= 0).all():
+                break
+        if (assigned >= 0).all():
+            break
+
+    n_fast = int((assigned >= 0).sum())
+    if verbose:
+        used = {}
+        for pi, (vi, wc, _, take) in enumerate(passes):
+            key = f"{variants[vi][0]}/{wc.name}"
+            used[key] = used.get(key, 0) + int((assigned == pi).sum())
+        print(f"fastpath: {n_fast}/{assigned.size} tiles fused "
+              f"({', '.join(f'{k}:{v}' for k, v in used.items() if v)})")
+    if n_fast == 0:
+        return None
+
+    combined = None
+    sel_full = jnp.asarray(np.repeat(np.repeat(assigned, PR.TILE_H, 0),
+                                     PR.TILE_W, 1))
+    for pi, (vi, wc, origins, take) in enumerate(passes):
+        name, spl = variants[vi]
+        sx, sy, mask = coords[vi]
+        org3 = np.concatenate(
+            [origins, take.reshape(-1, 1).astype(np.int32)], axis=1)
+        coeff_planar = jnp.moveaxis(spl.coeff, -1, 0)
+        out_planar = PR.resample_planar(coeff_planar, sx, sy,
+                                        jnp.asarray(org3),
+                                        degree=spl.degree, wc=wc)
+        img_v = _finish(out_planar, mask, nch_out, brighten)
+        if combined is None:
+            combined = img_v
+        else:
+            combined = jnp.where((sel_full == pi)[..., None], img_v,
+                                 combined)
+
+    img = np.array(jax.device_get(combined), np.float32)
+
+    bad = np.argwhere(assigned < 0)
+    if bad.size:
+        if verbose:
+            print(f"fastpath: {len(bad)} tiles via XLA fallback")
+        name0, spl0 = variants[0]
+        sx0, sy0, mask0 = coords[0]
+        for ti, tj in bad:
+            oy, ox = int(ti) * PR.TILE_H, int(tj) * PR.TILE_W
+            tile = _eval_tile_xla(spl0.coeff, sx0, sy0,
+                                  (jnp.int32(oy), jnp.int32(ox)),
+                                  spl0.degree)
+            m = jax.lax.dynamic_slice(mask0, (oy, ox),
+                                      (PR.TILE_H, PR.TILE_W))
+            tile = _finish(jnp.moveaxis(tile, -1, 0), m, nch_out,
+                           brighten)
+            img[oy:oy + PR.TILE_H, ox:ox + PR.TILE_W] = \
+                np.asarray(tile, np.float32)
+    return img
+
+
+def render_fast(plan, sources, render_window_fn=None,
+                verbose: bool = False,
+                classes=(PR.LOCAL, PR.DIAG)) -> Optional[np.ndarray]:
     """Render via the Pallas path; returns None if not eligible."""
     if not eligible(plan, sources):
         return None
@@ -97,43 +236,13 @@ def render_fast(plan, sources, render_window_fn,
     out_h, out_w = y1 - y0, x1 - x0
     ph = _round_up(out_h, PR.TILE_H)
     pw = _round_up(out_w, PR.TILE_W)
-    # padded window: replicate the last row/col of coordinates
     window = (y0, y0 + ph, x0, x0 + pw)
-    # (windows may exceed the notional raster; the planar grid formula
-    # extrapolates smoothly, which is exactly what we want for padding)
 
-    sx, sy, mask = _coords(plan, window, src)
-    stats = PR.tile_stats(sx, sy)
-    spl = src.spl
-    hp, wp, nch = spl.coeff.shape
-    origins, fast = PR.classify_tiles(
-        [np.asarray(s) for s in stats], hp, wp, spl.degree, PR.LOCAL)
-    n_fast = int(fast.sum())
-    if verbose:
-        print(f"fastpath: {n_fast}/{fast.size} tiles on the fused "
-              f"kernel")
-    if n_fast == 0:
+    names = _variant_names(src)
+    variants = [(n, _variant_spline(src, n)) for n in names]
+    coords = [_coords(plan, window, n, src) for n in names]
+    img = resample_variants(variants, coords, (ph, pw), plan.nchannels,
+                            src.static.brighten, classes, verbose)
+    if img is None:
         return None
-
-    coeff_planar = jnp.moveaxis(spl.coeff, -1, 0)
-    out_planar = PR.resample_planar(coeff_planar, sx, sy,
-                                    jnp.asarray(origins),
-                                    degree=spl.degree, wc=PR.LOCAL)
-    img = _finish(out_planar, mask, plan.nchannels,
-                  sources[0].static.brighten)
-    img = np.array(jax.device_get(img), np.float32)[:out_h, :out_w]
-
-    # overwrite bad tiles with the exact XLA path, one row band at a
-    # time (bands are contiguous runs of tile rows with any bad tile)
-    bad_rows = np.where(~fast.all(axis=1))[0]
-    if bad_rows.size:
-        runs = np.split(bad_rows, np.where(np.diff(bad_rows) > 1)[0] + 1)
-        for run in runs:
-            ry0 = y0 + int(run[0]) * PR.TILE_H
-            ry1 = min(y0 + (int(run[-1]) + 1) * PR.TILE_H, y1)
-            band = render_window_fn((ry0, ry1, x0, x1))
-            img[ry0 - y0:ry1 - y0] = np.asarray(band, np.float32)
-        if verbose:
-            n_bad_rows = sum(len(r) for r in runs)
-            print(f"fastpath: {n_bad_rows} tile-rows via XLA fallback")
-    return img
+    return img[:out_h, :out_w]

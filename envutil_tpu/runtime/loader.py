@@ -48,14 +48,74 @@ def load_source(fct: Facet, args) -> E.FacetSource:
     if cached is not None:
         if args.verbose:
             print(f"asset {fct.asset_key} is already present in RAM")
-        # rebind the cached spline to this facet's static config (the
-        # masked flag / brighten may differ between jobs)
-        return _make_source_from(fct, args, cached)
+        # rebind the cached spline(s) to this facet's static config
+        # (the masked flag / brighten may differ between jobs)
+        spl, variants = cached
+        src = _make_source_from(fct, args, spl)
+        src.variants = variants
+        return src
 
     img = _read_facet_image(fct, args)
     src = _build(fct, args, img)
-    assets.cache.add(key, src.spl)
+    _attach_variants(src, fct, args)
+    assets.cache.add(key, (src.spl, src.variants))
     return src
+
+
+def _attach_variants(src: E.FacetSource, fct: Facet, args) -> None:
+    """Build fast-path source variants (see runtime/fastpath.py):
+    'rolled' (exact) for any horizontally periodic source, plus the
+    approximate 90-degree 'pitched' copies for full sphericals unless
+    --precise is set. TPU only."""
+    import jax
+
+    from ..ops import spline as S
+
+    if jax.default_backend() == "cpu":
+        return
+    if src.static.kind != "mount" or src.spl is None:
+        return
+    if src.spl.bcs[1] != S.PERIODIC:
+        return
+    src.variants["rolled"] = S.rolled_spline(src.spl)
+    if getattr(args, "precise", False) or not src.spl.spherical:
+        return
+
+    import dataclasses
+    import math
+
+    import jax.numpy as jnp
+
+    from ..core.metrics import get_extent
+    from . import fastpath
+    from .render import RenderPlan
+
+    h, w = src.spl.core_shape
+    # build at 2x resolution where memory allows (halves the double-
+    # resampling error of pole lookups); 1x for large sources - an 8K
+    # source at 2x would need ~6GB of coefficient copies
+    over = 2 if w <= 4096 else 1
+    h2, w2 = over * h, over * w
+    build_src = E.FacetSource(
+        static=dataclasses.replace(src.static, brighten=1.0),
+        spl=src.spl, variants=dict(src.variants))
+    plan = RenderPlan(
+        projection=Projection.SPHERICAL, width=w2, height=h2,
+        extent=get_extent(Projection.SPHERICAL, w2, h2, 2 * math.pi),
+        nchannels=src.static.nch_native, synopsis="panorama",
+        spread=None, solo=0, facet_indices=(0,),
+        bases=(fastpath.PITCH_BASIS,), planar_to_ray=(None,))
+    if args.verbose:
+        print("building pitched pole-patch copy (disable with --precise)")
+    from ..ops import pallas_resample as PR
+    img = fastpath.render_fast(plan, [build_src], verbose=args.verbose,
+                               classes=(PR.LOCAL, PR.DIAG))
+    if img is None:
+        return
+    pspl = S.make_spline(jnp.asarray(img), args.spline_degree,
+                         args.prefilter_degree, spherical=True)
+    src.variants["pitched"] = pspl
+    src.variants["pitched_rolled"] = S.rolled_spline(pspl)
 
 
 def _build(fct: Facet, args, img: np.ndarray) -> E.FacetSource:

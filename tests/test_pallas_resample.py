@@ -1,0 +1,94 @@
+"""Pallas resample kernel tests (interpreter mode on CPU - the Mosaic
+lowering itself is exercised on TPU by the bench and CLI)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from envutil_tpu.ops import pallas_resample as PR
+from envutil_tpu.ops import spline as S
+
+RNG = np.random.default_rng(5)
+
+
+def _setup(degree):
+    img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
+    spl = S.make_spline(img, degree, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 256, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    sx = (60 + 0.9 * jj + 10 * np.sin(ii / 40)).astype(np.float32)
+    sy = (40 + 0.8 * ii + 7 * np.sin(sx / 23)).astype(np.float32)
+    ref = S.eval_spline(spl, jnp.asarray(sx), jnp.asarray(sy),
+                        apply_gate=False)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    return spl, coeffp, px, py, np.asarray(ref)
+
+
+@pytest.mark.parametrize("degree", [1, 3])
+def test_resample_matches_eval_spline(degree):
+    spl, coeffp, px, py, ref = _setup(degree)
+    stats = PR.tile_stats(px, py)
+    origins, fast = PR.classify_tiles(
+        [np.asarray(s) for s in stats], coeffp.shape[1],
+        coeffp.shape[2], degree, PR.LOCAL)
+    assert fast.all()
+    out = PR.resample_planar(coeffp, px, py, jnp.asarray(origins),
+                             degree=degree, wc=PR.LOCAL, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_inactive_tiles_skipped():
+    spl, coeffp, px, py, ref = _setup(1)
+    stats = PR.tile_stats(px, py)
+    origins, fast = PR.classify_tiles(
+        [np.asarray(s) for s in stats], coeffp.shape[1],
+        coeffp.shape[2], 1, PR.LOCAL)
+    org3 = np.concatenate(
+        [origins, np.zeros((origins.shape[0], 1), np.int32)], axis=1)
+    org3[0, 2] = 1  # only tile (0, 0) active
+    out = PR.resample_planar(coeffp, px, py, jnp.asarray(org3),
+                             degree=1, wc=PR.LOCAL, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    np.testing.assert_allclose(out[:128, :128], ref[:128, :128],
+                               atol=5e-5)
+
+
+def test_classifier_flags_wide_tiles():
+    # a warp whose x spans the whole table cannot be windowed
+    coeffp = jnp.zeros((1, 512, 4096), jnp.float32)
+    H = W = 128
+    jjj = np.arange(W) * 30.0  # 30 px per output px: exceeds budgets
+    sx = jnp.asarray(np.broadcast_to(jjj[None, :], (H, W)), jnp.float32)
+    sy = jnp.full((H, W), 20.0, jnp.float32)
+    origins, fast = PR.classify_tiles(
+        [np.asarray(s) for s in PR.tile_stats(sx, sy)],
+        512, 4096, 1, PR.LOCAL)
+    assert not fast.any()
+
+
+def test_rolled_spline_exact():
+    img = jnp.asarray(RNG.uniform(0, 1, (32, 64, 2)), jnp.float32)
+    spl = S.make_spline(img, 3, bcs=(S.MIRROR, S.PERIODIC))
+    rolled = S.rolled_spline(spl)
+    xs = jnp.asarray(RNG.uniform(0, 64, 200), jnp.float32)
+    ys = jnp.asarray(RNG.uniform(0, 31, 200), jnp.float32)
+    a = S.eval_spline(spl, xs, ys)
+    b = S.eval_spline(rolled, xs + 32.0, ys)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_rolled_spline_spherical():
+    img = jnp.asarray(RNG.uniform(0, 1, (16, 32, 1)), jnp.float32)
+    spl = S.make_spline(img, 3, spherical=True)
+    rolled = S.rolled_spline(spl)
+    xs = jnp.asarray(RNG.uniform(0, 32, 100), jnp.float32)
+    ys = jnp.asarray(RNG.uniform(0, 15, 100), jnp.float32)
+    a = S.eval_spline(spl, xs, ys)
+    b = S.eval_spline(rolled, xs + 16.0, ys)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
