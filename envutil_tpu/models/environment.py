@@ -211,6 +211,8 @@ def make_mount_source(fct: Facet, img: np.ndarray, spline_degree: int,
                       prefilter_degree: int,
                       verbose: bool = False) -> FacetSource:
     """source_t + mount_t construction (environment.h:594-962)."""
+    assert img.ndim == 3, \
+        f"mount source expects (H, W, C) pixel data, got {img.shape}"
     if fct.has_lens_crop or fct.has_pto_mask:
         img = synthesize_alpha(img, fct, verbose)
     nch = img.shape[-1]

@@ -36,13 +36,16 @@ DERIV_BIAS = 0.25
 
 
 def planar_axis(n: int, lo: float, hi: float, bias: float,
-                dtype=np.float32) -> np.ndarray:
-    """Edge-to-edge sample positions: n samples placed half a step
-    inside [lo, hi] plus a bias offset in *sample-step* units
-    (stepper.h:294-333: the doubled-int formulation keeps the samples
-    exactly in range; we compute in float64 host-side which is at least
-    as precise)."""
-    i = np.arange(n, dtype=np.float64)
+                dtype=np.float32, i0: int = 0,
+                i1: int | None = None) -> np.ndarray:
+    """Edge-to-edge sample positions: samples i0..i1 of an n-sample
+    axis placed half a step inside [lo, hi] plus a bias offset in
+    *sample-step* units (stepper.h:294-333: the doubled-int formulation
+    keeps the samples exactly in range; we compute in float64
+    host-side which is at least as precise). Indices beyond n
+    extrapolate smoothly (used for tile padding)."""
+    i1 = n if i1 is None else i1
+    i = np.arange(i0, i1, dtype=np.float64)
     ll = 2.0 * i + 1.0
     fx0 = lo / (2.0 * n)
     fx1 = hi / (2.0 * n)
@@ -108,12 +111,15 @@ def planar_grid(width: int, height: int, extent, bias=(0.0, 0.0),
     """SoA planar coordinate grid (px, py), each (H, W) (or the window's
     shape if ``window=(y0, y1, x0, x1)`` in discrete pixels is given -
     the analogue of the reference's bill limits/offsets)."""
-    xs = planar_axis(width, extent.x0, extent.x1, bias[0], dtype)
-    ys = planar_axis(height, extent.y0, extent.y1, bias[1], dtype)
     if window is not None:
         y0, y1, x0, x1 = window
-        xs = xs[x0:x1]
-        ys = ys[y0:y1]
+        xs = planar_axis(width, extent.x0, extent.x1, bias[0], dtype,
+                         x0, x1)
+        ys = planar_axis(height, extent.y0, extent.y1, bias[1], dtype,
+                         y0, y1)
+    else:
+        xs = planar_axis(width, extent.x0, extent.x1, bias[0], dtype)
+        ys = planar_axis(height, extent.y0, extent.y1, bias[1], dtype)
     px = jnp.broadcast_to(jnp.asarray(xs)[None, :], (ys.size, xs.size))
     py = jnp.broadcast_to(jnp.asarray(ys)[:, None], (ys.size, xs.size))
     return px, py

@@ -51,8 +51,9 @@ def _eval_all(sources: List[E.FacetSource], rays, nch: int):
     return jnp.stack(pxs), jnp.stack(masks), jnp.stack(scores)
 
 
-def voronoi(sources, rays, nch: int):
-    px, mask, score = _eval_all(sources, rays, nch)
+def voronoi_stack(px, mask, score):
+    """Champion select from precomputed stacks: px (NF, ..., C),
+    mask/score (NF, ...)."""
     champion = jnp.argmax(score, axis=0)
     any_valid = jnp.any(mask, axis=0)
     sel = jnp.take_along_axis(
@@ -60,17 +61,27 @@ def voronoi(sources, rays, nch: int):
     return jnp.where(any_valid[..., None], sel, 0.0)
 
 
-def voronoi_plus(sources, rays, nch: int):
-    px, mask, score = _eval_all(sources, rays, nch)
+def voronoi_plus_stack(px, mask, score):
+    """Z-ordered front-to-back associated-alpha compositing from
+    precomputed stacks."""
     order = jnp.argsort(-score, axis=0)
     layers = jnp.take_along_axis(px, order[..., None], axis=0)
     valid = jnp.take_along_axis(mask, order, axis=0)
-    # front-to-back associated-alpha compositing; misses contribute 0
     acc = jnp.where(valid[0][..., None], layers[0], 0.0)
-    for l in range(1, len(sources)):
+    for l in range(1, px.shape[0]):
         contrib = jnp.where(valid[l][..., None], layers[l], 0.0)
         acc = acc + (1.0 - acc[..., -1:]) * contrib
     return acc
+
+
+def voronoi(sources, rays, nch: int):
+    px, mask, score = _eval_all(sources, rays, nch)
+    return voronoi_stack(px, mask, score)
+
+
+def voronoi_plus(sources, rays, nch: int):
+    px, mask, score = _eval_all(sources, rays, nch)
+    return voronoi_plus_stack(px, mask, score)
 
 
 def _grey_project(px):
@@ -91,19 +102,19 @@ def _quality(grey, optimum: float, kind: str):
     return (optimum - distance) / (optimum * optimum)
 
 
-def hdr_merge(sources, rays, nch: int):
+def hdr_merge_stack(px_list, brightens, nch: int):
+    """Exposure fusion from precomputed per-facet pixels (each
+    (..., C)) and their brighten factors."""
     has_alpha = nch in (2, 4)
-    brightens = [s.static.brighten for s in sources]
     lo_i = int(np.argmin(brightens))
     hi_i = int(np.argmax(brightens))
 
     acc = None
     qsum = None
     alpha_max = None
-    for i, (src, ray) in enumerate(zip(sources, rays)):
-        px, _ = E.lookup(src, ray, nch)
+    for i, px in enumerate(px_list):
         kind = "low" if i == lo_i else ("high" if i == hi_i else "mid")
-        optimum = 0.5 * src.static.brighten
+        optimum = 0.5 * brightens[i]
         if has_alpha:
             alpha = px[..., -1]
             grey = _grey_project(px[..., :nch - 1])
@@ -128,6 +139,13 @@ def hdr_merge(sources, rays, nch: int):
         colour = colour * alpha_max[..., None]
         return jnp.concatenate([colour, alpha_max[..., None]], -1)
     return colour
+
+
+def hdr_merge(sources, rays, nch: int):
+    px_list = [E.lookup(src, ray, nch)[0]
+               for src, ray in zip(sources, rays)]
+    brightens = [s.static.brighten for s in sources]
+    return hdr_merge_stack(px_list, brightens, nch)
 
 
 SYNOPSES = {

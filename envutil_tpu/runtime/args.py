@@ -241,7 +241,12 @@ def _glean_facet_metrics(fct: Facet, read_hfov: bool,
                 print("no 'Hfov' metadatum found; assuming 65 degrees")
             fct.hfov = 65.0 * D2R
     if read_projection:
-        if "Projection" in meta:
+        if "%s" in fct.filename:
+            # a cubeface series is a cubemap regardless of the faces'
+            # own (rectilinear) metadata
+            fct.projection = Projection.CUBEMAP
+            fct.hfov = math.pi / 2
+        elif "Projection" in meta:
             fct.projection = parse_projection(meta["Projection"])
             if verbose:
                 print(f"found projection in metadata: {meta['Projection']}")

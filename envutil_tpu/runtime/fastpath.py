@@ -85,14 +85,18 @@ def _variant_spline(src, name):
     return src.spl if name == "orig" else src.variants[name]
 
 
-@functools.partial(jax.jit, static_argnames=("plan", "window", "name"))
-def _coords(plan, window, name, src):
-    """Per-pixel padded spline coordinates + mask for one variant."""
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "window", "name", "fi"))
+def _coords(plan, window, name, src, fi: int = 0):
+    """Per-pixel padded spline coordinates + validity mask + ray z (the
+    voronoi centrality criterion) for one source variant of facet
+    ``fi``."""
     ray = ST.target_rays(plan.projection, plan.width, plan.height,
-                         plan.extent, basis=plan.bases[0],
+                         plan.extent, basis=plan.bases[fi],
                          normalize=True,
-                         planar_to_ray=plan.planar_to_ray[0],
+                         planar_to_ray=plan.planar_to_ray[fi],
                          window=window)
+    ray_z = ray[2]
     if name.startswith("pitched"):
         ray = geo.apply_matrix(PITCH_BASIS.T, *ray)
     sx, sy, mask = E.source_spline_coords(src, ray)
@@ -110,7 +114,7 @@ def _coords(plan, window, name, src):
         sx = sx + w / 2.0
     sx = S.gate(sx, spl.bcs[1], w) + spl.pad
     sy = S.gate(sy, spl.bcs[0], h) + spl.pad
-    return sx, sy, mask
+    return sx, sy, mask, ray_z
 
 
 @functools.partial(jax.jit, static_argnames=("nch_out", "brighten"))
@@ -137,55 +141,91 @@ def _eval_tile_xla(coeff, sx, sy, origin, degree):
     return S.eval_spline(spl, sxt, syt, apply_gate=False)
 
 
-def resample_variants(variants, coords, out_shape, nch_out: int,
-                      brighten: float, classes, verbose: bool = False):
-    """Core of the fast path, also used for per-asset preprocessing
-    builds: resample through a list of source variants.
+ZERO_PASS = -2  # tile not covered by the facet: output is zeros
 
-    variants: list of (name, Spline2D); coords: matching list of
-    (sx, sy, mask) padded+gated coordinate arrays (H, W). Each output
-    tile is assigned the first (variant, window-class) pair whose
-    budgets it fits; one Pallas pass per used pair; remaining tiles are
-    evaluated exactly by the XLA fallback at the first variant's
-    coordinates. Returns the finished (H, W, nch_out) numpy image, or
-    None if nothing fused."""
+
+def _classify_passes(variants, coords, out_shape, classes):
+    """Assign each output tile the first (variant, window-class) pair
+    whose budgets it fits. Returns (assigned (nty, ntx), passes)."""
     h, w = out_shape
     nty, ntx = h // PR.TILE_H, w // PR.TILE_W
     assigned = np.full((nty, ntx), -1, np.int32)
+    # tiles the facet doesn't cover at all render as zeros without any
+    # kernel or fallback work (the reference's all-miss fast path,
+    # envutil_payload.cc:902-910, at tile granularity)
+    mask0 = np.asarray(coords[0][2])
+    covered = mask0.reshape(nty, PR.TILE_H, ntx, PR.TILE_W) \
+        .any(axis=(1, 3))
+    assigned[~covered] = ZERO_PASS
     passes = []
-    for vi, ((name, spl), (sx, sy, mask)) in enumerate(zip(variants,
-                                                           coords)):
+    for vi, ((name, spl), crd) in enumerate(zip(variants, coords)):
+        sx, sy = crd[0], crd[1]
         stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
         hp, wp = spl.coeff.shape[0], spl.coeff.shape[1]
         for wc in classes:
             origins, fast = PR.classify_tiles(stats, hp, wp,
                                               spl.degree, wc)
-            take = fast & (assigned < 0)
+            take = fast & (assigned == -1)
             if take.any():
                 assigned[take] = len(passes)
                 passes.append((vi, wc, origins, take))
-            if (assigned >= 0).all():
+            if (assigned != -1).all():
                 break
-        if (assigned >= 0).all():
+        if (assigned != -1).all():
             break
+    return assigned, passes
 
+
+@functools.partial(jax.jit, static_argnames=("degree", "nch_out",
+                                             "brighten"))
+def _patch_tile(img, coeff, sx, sy, mask, origin, degree, nch_out,
+                brighten):
+    """Overwrite one (TILE_H, TILE_W) tile of the finished device image
+    with the exact XLA evaluation."""
+    tile = _eval_tile_xla(coeff, sx, sy, origin, degree)
+    oy, ox = origin
+    m = jax.lax.dynamic_slice(mask, (oy, ox), (PR.TILE_H, PR.TILE_W))
+    tile = _finish(jnp.moveaxis(tile, -1, 0), m, nch_out, brighten)
+    return jax.lax.dynamic_update_slice(img, tile, (oy, ox, 0))
+
+
+def resample_variants(variants, coords, out_shape, nch_out: int,
+                      brighten: float, classes, verbose: bool = False,
+                      device: bool = False):
+    """Core of the fast path, also used for per-asset preprocessing
+    builds and per-facet stacks: resample through a list of source
+    variants (each (name, Spline2D) with matching (sx, sy, mask[, z])
+    coordinate arrays). One Pallas pass per used (variant, class) pair;
+    remaining tiles are patched with the exact XLA evaluation at the
+    first variant's coordinates. Returns the finished (H, W, nch_out)
+    image (numpy, or a device array when ``device``), or None if
+    nothing fused."""
+    assigned, passes = _classify_passes(variants, coords, out_shape,
+                                        classes)
     n_fast = int((assigned >= 0).sum())
+    n_zero = int((assigned == ZERO_PASS).sum())
     if verbose:
         used = {}
         for pi, (vi, wc, _, take) in enumerate(passes):
             key = f"{variants[vi][0]}/{wc.name}"
             used[key] = used.get(key, 0) + int((assigned == pi).sum())
+        extra = f", {n_zero} empty" if n_zero else ""
         print(f"fastpath: {n_fast}/{assigned.size} tiles fused "
-              f"({', '.join(f'{k}:{v}' for k, v in used.items() if v)})")
-    if n_fast == 0:
+              f"({', '.join(f'{k}:{v}' for k, v in used.items() if v)}"
+              f"{extra})")
+    if n_fast == 0 and n_zero < assigned.size:
         return None
+    h, w = out_shape
+    if n_fast == 0:  # facet covers nothing in this window
+        zero = jnp.zeros((h, w, nch_out), jnp.float32)
+        return zero if device else np.array(zero)
 
     combined = None
     sel_full = jnp.asarray(np.repeat(np.repeat(assigned, PR.TILE_H, 0),
                                      PR.TILE_W, 1))
     for pi, (vi, wc, origins, take) in enumerate(passes):
         name, spl = variants[vi]
-        sx, sy, mask = coords[vi]
+        sx, sy, mask = coords[vi][0], coords[vi][1], coords[vi][2]
         org3 = np.concatenate(
             [origins, take.reshape(-1, 1).astype(np.int32)], axis=1)
         coeff_planar = jnp.moveaxis(spl.coeff, -1, 0)
@@ -199,32 +239,33 @@ def resample_variants(variants, coords, out_shape, nch_out: int,
             combined = jnp.where((sel_full == pi)[..., None], img_v,
                                  combined)
 
-    img = np.array(jax.device_get(combined), np.float32)
+    if n_zero:
+        combined = jnp.where((sel_full == ZERO_PASS)[..., None], 0.0,
+                             combined)
 
-    bad = np.argwhere(assigned < 0)
+    bad = np.argwhere(assigned == -1)
     if bad.size:
         if verbose:
             print(f"fastpath: {len(bad)} tiles via XLA fallback")
         name0, spl0 = variants[0]
-        sx0, sy0, mask0 = coords[0]
+        sx0, sy0, mask0 = coords[0][0], coords[0][1], coords[0][2]
         for ti, tj in bad:
             oy, ox = int(ti) * PR.TILE_H, int(tj) * PR.TILE_W
-            tile = _eval_tile_xla(spl0.coeff, sx0, sy0,
-                                  (jnp.int32(oy), jnp.int32(ox)),
-                                  spl0.degree)
-            m = jax.lax.dynamic_slice(mask0, (oy, ox),
-                                      (PR.TILE_H, PR.TILE_W))
-            tile = _finish(jnp.moveaxis(tile, -1, 0), m, nch_out,
-                           brighten)
-            img[oy:oy + PR.TILE_H, ox:ox + PR.TILE_W] = \
-                np.asarray(tile, np.float32)
-    return img
+            combined = _patch_tile(combined, spl0.coeff, sx0, sy0,
+                                   mask0,
+                                   (jnp.int32(oy), jnp.int32(ox)),
+                                   spl0.degree, nch_out, brighten)
+    if device:
+        return combined
+    return np.array(jax.device_get(combined), np.float32)
 
 
 def render_fast(plan, sources, render_window_fn=None,
                 verbose: bool = False,
                 classes=(PR.LOCAL, PR.DIAG)) -> Optional[np.ndarray]:
     """Render via the Pallas path; returns None if not eligible."""
+    if len(sources) > 1:
+        return render_fast_multi(plan, sources, verbose, classes)
     if not eligible(plan, sources):
         return None
     src = sources[0]
@@ -245,4 +286,66 @@ def render_fast(plan, sources, render_window_fn=None,
                             src.static.brighten, classes, verbose)
     if img is None:
         return None
+    return img[:out_h, :out_w]
+
+
+def _eligible_multi(plan, sources) -> bool:
+    if jax.default_backend() == "cpu" or plan.spread is not None:
+        return False
+    for src in sources:
+        if src.static.kind == "paint" or src.static.masked != -1:
+            return False
+        if src.spl is None or src.spl.degree > 7:
+            return False
+    return True
+
+
+def render_fast_multi(plan, sources, verbose: bool = False,
+                      classes=(PR.LOCAL, PR.DIAG)
+                      ) -> Optional[np.ndarray]:
+    """Multi-facet render through the fused kernel: per-facet pixel
+    stacks from resample_variants, then the synopsis combine
+    (voronoi / voronoi+ / hdr_merge) on device."""
+    from ..models import synopsis as SYN
+
+    if not _eligible_multi(plan, sources):
+        return None
+    if plan.crop is not None:
+        y0, y1, x0, x1 = plan.crop
+    else:
+        y0, y1, x0, x1 = 0, plan.height, 0, plan.width
+    out_h, out_w = y1 - y0, x1 - x0
+    ph = _round_up(out_h, PR.TILE_H)
+    pw = _round_up(out_w, PR.TILE_W)
+    window = (y0, y0 + ph, x0, x0 + pw)
+
+    px_list, mask_list, score_list = [], [], []
+    for fi, src in enumerate(sources):
+        names = _variant_names(src)
+        variants = [(n, _variant_spline(src, n)) for n in names]
+        coords = [_coords(plan, window, n, src, fi) for n in names]
+        img_f = resample_variants(variants, coords, (ph, pw),
+                                  plan.nchannels, src.static.brighten,
+                                  classes, verbose, device=True)
+        if img_f is None:
+            return None  # one facet entirely unfusable: use XLA path
+        _, _, mask, ray_z = coords[0]
+        px_list.append(img_f)
+        mask_list.append(mask)
+        score_list.append(jnp.where(
+            mask, ray_z * src.static.recip_step,
+            float(np.finfo(np.float32).min)))
+
+    px = jnp.stack(px_list)
+    mask = jnp.stack(mask_list)
+    score = jnp.stack(score_list)
+    if plan.synopsis == "hdr_merge":
+        out = SYN.hdr_merge_stack(list(px), [s.static.brighten
+                                             for s in sources],
+                                  plan.nchannels)
+    elif plan.nchannels in (1, 3):
+        out = SYN.voronoi_stack(px, mask, score)
+    else:
+        out = SYN.voronoi_plus_stack(px, mask, score)
+    img = np.array(jax.device_get(out), np.float32)
     return img[:out_h, :out_w]
