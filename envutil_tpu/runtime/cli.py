@@ -10,10 +10,18 @@ Job modes match the reference (envutil_main.cc:1634-1983):
 
 from __future__ import annotations
 
+import os
 import shlex
 import sys
 import time
 from typing import List
+
+# this image's plugin force-sets jax_platforms (the JAX_PLATFORMS env
+# var is ignored); ENVUTIL_PLATFORM provides an explicit override
+if os.environ.get("ENVUTIL_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["ENVUTIL_PLATFORM"])
 
 from ..core.conventions import PROJECTION_NAMES
 from ..io import imgio
