@@ -269,9 +269,203 @@ def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# twining variant: the K-tap supersampling filter fused into the kernel
+# (the reference's twine_t / synopsis_t, twining.h:72-263, linearized in
+# coordinate space: tap coords = center + cx*du + cy*dv with du/dv the
+# differenced coordinate derivatives - the reference itself linearizes
+# in ray space with the same differencing)
+# ---------------------------------------------------------------------------
+
+def _twined_kernel(origins_ref, spread_ref,     # scalar prefetch
+                   sx_ref, sy_ref,              # center coords
+                   dux_ref, duy_ref, dvx_ref, dvy_ref,
+                   coeff_ref, out_ref, win_ref, sem,
+                   *, degree: int, wc: WindowClass, nch: int,
+                   ntx: int, n_taps: int, cmax_x: float,
+                   cmax_y: float):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tid = ti * ntx + tj
+    oy = pl.multiple_of(origins_ref[tid * 3], 8)
+    ox = pl.multiple_of(origins_ref[tid * 3 + 1], 128)
+    active = origins_ref[tid * 3 + 2]
+
+    @pl.when(active != 0)
+    def _do_copy():
+        copy = pltpu.make_async_copy(
+            coeff_ref.at[:, pl.ds(oy, wc.win_h), pl.ds(ox, wc.win_w)],
+            win_ref, sem)
+        copy.start()
+        copy.wait()
+
+    n1 = degree + 1
+    off = degree // 2
+    oyf = oy.astype(jnp.float32)
+    oxf = ox.astype(jnp.float32)
+
+    def row_body(r, carry):
+        sl = (pl.ds(r * 8, 8), slice(None))
+        sx = sx_ref[sl] - oxf
+        sy = sy_ref[sl] - oyf
+        dux = dux_ref[sl]
+        duy = duy_ref[sl]
+        dvx = dvx_ref[sl]
+        dvy = dvy_ref[sl]
+
+        # candidate bases covering all taps (static margin bounds)
+        mx = cmax_x * jnp.abs(dux) + cmax_y * jnp.abs(dvx)
+        my = cmax_x * jnp.abs(duy) + cmax_y * jnp.abs(dvy)
+        by_lo, _unused_ty = _split(sy - my, degree)
+        rb0 = jnp.min(by_lo - off)
+        rb0 = jnp.clip((rb0 // 8) * 8, 0, wc.win_h - 8 * wc.cand_r)
+        rb0 = pl.multiple_of(rb0, 8)
+        bx_lo, _unused_tx = _split(sx - mx, degree)
+        cb0 = jnp.min(bx_lo - off)
+        cb0 = jnp.clip((cb0 // 128) * 128, 0,
+                       wc.win_w - 128 * wc.cand_c)
+        cb0 = pl.multiple_of(cb0, 128)
+
+        def tap_body(t, acc):
+            cx_t = spread_ref[t * 3]
+            cy_t = spread_ref[t * 3 + 1]
+            w_t = spread_ref[t * 3 + 2]
+            sxt = sx + cx_t * dux + cy_t * dvx
+            syt = sy + cx_t * duy + cy_t * dvy
+
+            sely, ty = _split(syt, degree)
+            by = sely - off
+            ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
+            wy = _weights_poly(ty, degree)
+            selx, _tx = _split(sxt, degree)
+            bx = selx - off
+            bxc = jnp.broadcast_to(
+                jnp.min(bx, axis=0, keepdims=True), (8, TILE_W))
+            lxc = jnp.clip(bxc - cb0, 0, 128 * wc.cand_c - 1)
+            bxcf = bxc.astype(jnp.float32)
+            wk = [_bspline_basis_jnp(degree, sxt - (bxcf + k))
+                  for k in range(wc.k_taps)]
+            wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
+                   for j in range(n1)]
+            rr = [(ly + j) & 7 for j in range(n1)]
+            qb = [(ly + j) >> 3 for j in range(n1)]
+
+            for ch in range(nch):
+                blocks = [
+                    [win_ref[ch, pl.ds(rb0 + 8 * b, 8),
+                             pl.ds(cb0 + 128 * cc, 128)]
+                     for cc in range(wc.cand_c)]
+                    for b in range(wc.cand_r)
+                ]
+                val = jnp.zeros((8, TILE_W), jnp.float32)
+                for k in range(wc.k_taps):
+                    cxi = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
+                    qc = cxi >> 7
+                    rc = cxi & 127
+                    tb = []
+                    for b in range(wc.cand_r):
+                        v = jnp.take_along_axis(blocks[b][0], rc,
+                                                axis=1)
+                        for cc in range(1, wc.cand_c):
+                            g = jnp.take_along_axis(blocks[b][cc], rc,
+                                                    axis=1)
+                            v = jnp.where(qc == cc, g, v)
+                        tb.append(v)
+                    for j in range(n1):
+                        v = jnp.take_along_axis(tb[0], rr[j], axis=0)
+                        for b in range(1, wc.cand_r):
+                            g = jnp.take_along_axis(tb[b], rr[j],
+                                                    axis=0)
+                            v = jnp.where(qb[j] == b, g, v)
+                        val = val + wjk[j][k] * v
+                # static-index accumulation (scatter is unsupported in
+                # Mosaic): the carry is a tuple of per-channel vregs
+                acc = tuple(a + w_t * val if i == ch else a
+                            for i, a in enumerate(acc))
+            return acc
+
+        acc0 = tuple(jnp.zeros((8, TILE_W), jnp.float32)
+                     for _c in range(nch))
+        acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
+        for ch in range(nch):
+            out_ref[ch, pl.ds(r * 8, 8), :] = acc[ch]
+        return carry
+
+    @pl.when(active != 0)
+    def _do_rows():
+        jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("degree", "wc", "n_taps", "cmax_x",
+                                    "cmax_y", "interpret"))
+def resample_twined(coeff, sx, sy, dux, duy, dvx, dvy, origins,
+                    spread, *, degree: int, n_taps: int,
+                    cmax_x: float, cmax_y: float,
+                    wc: WindowClass = LOCAL,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Twined resampling: evaluates the spline at n_taps deflected
+    positions per pixel (tap t at center + spread[3t]*du +
+    spread[3t+1]*dv, weighted by spread[3t+2]) and accumulates.
+    ``spread`` is a flat float32 array (n_taps*3,) with the bias
+    already folded in; (cmax_x, cmax_y) are static bounds on |cx|,|cy|
+    used for the candidate windows."""
+    nch, hp, wp = coeff.shape
+    ha, wa = aligned_dims(hp, wp, wc)
+    if (ha, wa) != (hp, wp):
+        coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
+                        mode="edge")
+        nch, hp, wp = coeff.shape
+    h, w = sx.shape
+    nty, ntx = h // TILE_H, w // TILE_W
+
+    tile = lambda i, j, o, s: (i, j)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=[pl.BlockSpec((TILE_H, TILE_W), tile,
+                               memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((nch, TILE_H, TILE_W),
+                               lambda i, j, o, s: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nch, wc.win_h, wc.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(_twined_kernel, degree=degree, wc=wc,
+                             nch=nch, ntx=ntx, n_taps=n_taps,
+                             cmax_x=cmax_x, cmax_y=cmax_y)
+    if origins.ndim == 2:
+        origins = origins.reshape(-1)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nch, h, w), jnp.float32),
+        interpret=interpret,
+    )(origins, spread, sx, sy, dux, duy, dvx, dvy, coeff)
+
+
+# ---------------------------------------------------------------------------
 # tile classification (host side, from per-vreg coordinate statistics
 # computed by one cheap XLA reduction)
 # ---------------------------------------------------------------------------
+
+@jax.jit
+def tile_stats_range(sx_lo, sx_hi, sy_lo, sy_hi):
+    """tile_stats over per-pixel coordinate *ranges* (for twining: the
+    tap footprint [c - margin, c + margin])."""
+    h, w = sx_lo.shape
+
+    def v(a):
+        return a.reshape(h // 8, 8, w // 128, 128)
+
+    drift = (jnp.max(v(sx_hi), axis=1)
+             - jnp.min(v(sx_lo), axis=1)).max(axis=-1)
+    return (jnp.min(v(sy_lo), axis=(1, 3)),
+            jnp.max(v(sy_hi), axis=(1, 3)),
+            jnp.min(v(sx_lo), axis=(1, 3)),
+            jnp.max(v(sx_hi), axis=(1, 3)), drift)
+
 
 @jax.jit
 def tile_stats(sx: jnp.ndarray, sy: jnp.ndarray):

@@ -61,11 +61,11 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def eligible(plan, sources) -> bool:
+def eligible(plan, sources, allow_spread: bool = False) -> bool:
     if len(sources) != 1:
         return False
     src = sources[0]
-    if plan.spread is not None:
+    if plan.spread is not None and not allow_spread:
         return False
     if src.static.kind == "paint" or src.static.masked != -1:
         return False
@@ -86,14 +86,16 @@ def _variant_spline(src, name):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("plan", "window", "name", "fi"))
-def _coords(plan, window, name, src, fi: int = 0):
+                   static_argnames=("plan", "window", "name", "fi",
+                                    "bias"))
+def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0)):
     """Per-pixel padded spline coordinates + validity mask + ray z (the
     voronoi centrality criterion) for one source variant of facet
-    ``fi``."""
+    ``fi``. ``bias`` offsets the sampling grid by a sub-pixel step
+    (derivative grids for twining, stepper.h:1587-1715)."""
     ray = ST.target_rays(plan.projection, plan.width, plan.height,
                          plan.extent, basis=plan.bases[fi],
-                         normalize=True,
+                         normalize=True, bias=bias,
                          planar_to_ray=plan.planar_to_ray[fi],
                          window=window)
     ray_z = ray[2]
@@ -260,10 +262,159 @@ def resample_variants(variants, coords, out_shape, nch_out: int,
     return np.array(jax.device_get(combined), np.float32)
 
 
+@jax.jit
+def _deriv(c0, c10, c01):
+    """Coordinate derivative vectors from the three biased grids (the
+    reference's ninepack differencing, twining.h:236-238)."""
+    return c10 - c0, c01 - c0
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "spread"))
+def _eval_tile_xla_twined(coeff, sx, sy, dux, duy, dvx, dvy, origin,
+                          degree, spread):
+    """Exact XLA fallback for one tile of a twined render (taps
+    unrolled statically)."""
+    oy, ox = origin
+    size = (PR.TILE_H, PR.TILE_W)
+    sl = lambda a: jax.lax.dynamic_slice(a, (oy, ox), size)
+    sxt, syt = sl(sx), sl(sy)
+    duxt, duyt, dvxt, dvyt = sl(dux), sl(duy), sl(dvx), sl(dvy)
+    spl = S.Spline2D(coeff=coeff, pad=0, degree=degree,
+                     bcs=(S.CONSTANT, S.CONSTANT),
+                     core_shape=coeff.shape[:2])
+    acc = None
+    for (cx, cy, wgt) in spread:
+        v = S.eval_spline(spl, sxt + cx * duxt + cy * dvxt,
+                          syt + cx * duyt + cy * dvyt,
+                          apply_gate=False)
+        term = wgt * v
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def render_fast_twined(plan, sources, verbose: bool = False,
+                       classes=(PR.LOCAL, PR.DIAG)
+                       ) -> Optional[np.ndarray]:
+    """Solo render with the twining filter fused into the kernel. Tap
+    positions are linearized in coordinate space (the reference
+    linearizes in ray space with the same sub-pixel differencing); the
+    validity mask is the center tap's."""
+    if not eligible(plan, sources, allow_spread=True):
+        return None
+    src = sources[0]
+    if plan.crop is not None:
+        y0, y1, x0, x1 = plan.crop
+    else:
+        y0, y1, x0, x1 = 0, plan.height, 0, plan.width
+    out_h, out_w = y1 - y0, x1 - x0
+    ph = _round_up(out_h, PR.TILE_H)
+    pw = _round_up(out_w, PR.TILE_W)
+    window = (y0, y0 + ph, x0, x0 + pw)
+
+    # spread with the 1/bias factor folded in (synopsis_t semantics)
+    bias = 1.0 / ST.DERIV_BIAS
+    spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
+                   for (cx, cy, w) in plan.spread)
+    spread_flat = jnp.asarray(np.asarray(spread, np.float32).reshape(-1))
+    cmax_x = max(abs(c[0]) for c in spread)
+    cmax_y = max(abs(c[1]) for c in spread)
+
+    names = _variant_names(src)
+    assigned = None
+    passes = []
+    data = {}
+    for name in names:
+        spl = _variant_spline(src, name)
+        c0 = _coords(plan, window, name, src, 0, (0.0, 0.0))
+        c10 = _coords(plan, window, name, src, 0, (ST.DERIV_BIAS, 0.0))
+        c01 = _coords(plan, window, name, src, 0, (0.0, ST.DERIV_BIAS))
+        sx, sy, mask, _z = c0
+        dux, dvx = _deriv(sx, c10[0], c01[0])
+        duy, dvy = _deriv(sy, c10[1], c01[1])
+        data[name] = (sx, sy, dux, duy, dvx, dvy, mask)
+        mx = cmax_x * jnp.abs(dux) + cmax_y * jnp.abs(dvx)
+        my = cmax_x * jnp.abs(duy) + cmax_y * jnp.abs(dvy)
+        stats = PR.tile_stats_range(sx - mx, sx + mx, sy - my, sy + my)
+        stats = [np.asarray(s) for s in stats]
+        if assigned is None:
+            nty, ntx = ph // PR.TILE_H, pw // PR.TILE_W
+            assigned = np.full((nty, ntx), -1, np.int32)
+            covered = np.asarray(mask).reshape(
+                nty, PR.TILE_H, ntx, PR.TILE_W).any(axis=(1, 3))
+            assigned[~covered] = ZERO_PASS
+        for wc in classes:
+            origins, fast = PR.classify_tiles(
+                stats, spl.coeff.shape[0], spl.coeff.shape[1],
+                spl.degree, wc)
+            take = fast & (assigned == -1)
+            if take.any():
+                assigned[take] = len(passes)
+                passes.append((name, wc, origins, take))
+            if (assigned != -1).all():
+                break
+        if (assigned != -1).all():
+            break
+
+    n_fast = int((assigned >= 0).sum())
+    if verbose:
+        print(f"fastpath(twined): {n_fast}/{assigned.size} tiles fused,"
+              f" {len(spread)} taps")
+    if n_fast == 0:
+        return None
+
+    combined = None
+    sel_full = jnp.asarray(np.repeat(np.repeat(assigned, PR.TILE_H, 0),
+                                     PR.TILE_W, 1))
+    for pi, (name, wc, origins, take) in enumerate(passes):
+        spl = _variant_spline(src, name)
+        sx, sy, dux, duy, dvx, dvy, mask = data[name]
+        org3 = np.concatenate(
+            [origins, take.reshape(-1, 1).astype(np.int32)], axis=1)
+        coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+        out_planar = PR.resample_twined(
+            coeffp, sx, sy, dux, duy, dvx, dvy, jnp.asarray(org3),
+            spread_flat, degree=spl.degree, n_taps=len(spread),
+            cmax_x=cmax_x, cmax_y=cmax_y, wc=wc)
+        img_v = _finish(out_planar, mask, plan.nchannels,
+                        src.static.brighten)
+        combined = img_v if combined is None else \
+            jnp.where((sel_full == pi)[..., None], img_v, combined)
+
+    if int((assigned == ZERO_PASS).sum()):
+        combined = jnp.where((sel_full == ZERO_PASS)[..., None], 0.0,
+                             combined)
+
+    bad = np.argwhere(assigned == -1)
+    if bad.size:
+        if verbose:
+            print(f"fastpath(twined): {len(bad)} tiles via XLA fallback")
+        name0 = names[0]
+        spl0 = _variant_spline(src, name0)
+        sx, sy, dux, duy, dvx, dvy, mask = data[name0]
+        for ti, tj in bad:
+            oy, ox = int(ti) * PR.TILE_H, int(tj) * PR.TILE_W
+            tile = _eval_tile_xla_twined(
+                spl0.coeff, sx, sy, dux, duy, dvx, dvy,
+                (jnp.int32(oy), jnp.int32(ox)), spl0.degree, spread)
+            m = jax.lax.dynamic_slice(mask, (oy, ox),
+                                      (PR.TILE_H, PR.TILE_W))
+            tile = _finish(jnp.moveaxis(tile, -1, 0), m,
+                           plan.nchannels, src.static.brighten)
+            combined = jax.lax.dynamic_update_slice(
+                combined, tile, (oy, ox, 0))
+
+    img = np.array(jax.device_get(combined), np.float32)
+    return img[:out_h, :out_w]
+
+
 def render_fast(plan, sources, render_window_fn=None,
                 verbose: bool = False,
                 classes=(PR.LOCAL, PR.DIAG)) -> Optional[np.ndarray]:
     """Render via the Pallas path; returns None if not eligible."""
+    if plan.spread is not None:
+        if len(sources) == 1:
+            return render_fast_twined(plan, sources, verbose, classes)
+        return None  # multi-facet twining: per-tap synopsis, XLA path
     if len(sources) > 1:
         return render_fast_multi(plan, sources, verbose, classes)
     if not eligible(plan, sources):
