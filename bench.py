@@ -87,6 +87,7 @@ def main():
     plan = build_plan(args, [fct])
 
     window = (0, plan.height, 0, plan.width)
+    basis_dev = jnp.asarray(np.asarray(plan.bases[0], np.float32))
 
     # per-plan static state (one-time, host side): classify tiles for
     # every (variant, window class) like the real fast path
@@ -97,7 +98,8 @@ def main():
                         plan.width // PR.TILE_W), -1, np.int32)
     passes = []
     for name in names:
-        sx, sy, m, _z = _coords(plan, window, name, src)
+        sx, sy, m, _z = _coords(plan, window, name, src, 0,
+                                (0.0, 0.0), basis_dev)
         spl = _variant_spline(src, name)
         stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
         for wc in (PR.LOCAL, PR.DIAG):
@@ -120,7 +122,8 @@ def main():
     def frame(src_, cps, eps):
         combined = None
         for pi, (name, wc, org3) in enumerate(passes):
-            sx, sy, m, _z = _coords(plan, window, name, src_)
+            sx, sy, m, _z = _coords(plan, window, name, src_, 0,
+                                    (0.0, 0.0), basis_dev)
             out = PR.resample_planar(cps[name] + eps, sx, sy, org3,
                                      degree=3, wc=wc)
             img_v = _finish(out, m, 3, 1.0)

@@ -85,19 +85,45 @@ def _variant_spline(src, name):
     return src.spl if name == "orig" else src.variants[name]
 
 
+# geometry interning: plans whose per-facet transform is a plain
+# rotation share one compiled program per (geometry, shape) - the
+# rotation matrix enters as a traced argument, so interactive serving
+# (changing yaw/pitch/roll every frame) does not recompile. Plans with
+# generic transform chains (--single lens/translation) stay
+# identity-keyed.
+_GEOM_CACHE = {}
+
+
+def _geom_static(plan):
+    if any(p is not None for p in plan.planar_to_ray):
+        return plan
+    key = (plan.projection, plan.width, plan.height, plan.extent,
+           plan.nchannels, plan.synopsis, plan.spread, plan.solo,
+           plan.crop, len(plan.bases))
+    return _GEOM_CACHE.setdefault(key, plan)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("plan", "window", "name", "fi",
                                     "bias"))
-def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0)):
+def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
+            basis=None):
     """Per-pixel padded spline coordinates + validity mask + ray z (the
     voronoi centrality criterion) for one source variant of facet
     ``fi``. ``bias`` offsets the sampling grid by a sub-pixel step
-    (derivative grids for twining, stepper.h:1587-1715)."""
+    (derivative grids for twining, stepper.h:1587-1715). ``basis`` is
+    the traced camera-to-facet rotation (None only when the plan's
+    transform chain embeds it)."""
+    assert (basis is None) == (plan.planar_to_ray[fi] is not None), \
+        "pass the rotation for plain plans, None for generic chains"
     ray = ST.target_rays(plan.projection, plan.width, plan.height,
-                         plan.extent, basis=plan.bases[fi],
-                         normalize=True, bias=bias,
+                         plan.extent, basis=None,
+                         normalize=False, bias=bias,
                          planar_to_ray=plan.planar_to_ray[fi],
                          window=window)
+    if basis is not None:
+        ray = geo.apply_matrix(basis, *ray)
+    ray = geo.normalize(*ray)
     ray_z = ray[2]
     if name.startswith("pitched"):
         ray = geo.apply_matrix(PITCH_BASIS.T, *ray)
@@ -292,6 +318,13 @@ def _eval_tile_xla_twined(coeff, sx, sy, dux, duy, dvx, dvy, origin,
     return acc
 
 
+
+def _basis_arg(plan, fi):
+    """Traced rotation argument for _coords (None for generic chains)."""
+    if plan.planar_to_ray[fi] is not None:
+        return None
+    return jnp.asarray(np.asarray(plan.bases[fi], np.float32))
+
 def render_fast_twined(plan, sources, verbose: bool = False,
                        classes=(PR.LOCAL, PR.DIAG)
                        ) -> Optional[np.ndarray]:
@@ -319,15 +352,19 @@ def render_fast_twined(plan, sources, verbose: bool = False,
     cmax_x = max(abs(c[0]) for c in spread)
     cmax_y = max(abs(c[1]) for c in spread)
 
+    geom = _geom_static(plan)
+    basis = _basis_arg(plan, 0)
     names = _variant_names(src)
     assigned = None
     passes = []
     data = {}
     for name in names:
         spl = _variant_spline(src, name)
-        c0 = _coords(plan, window, name, src, 0, (0.0, 0.0))
-        c10 = _coords(plan, window, name, src, 0, (ST.DERIV_BIAS, 0.0))
-        c01 = _coords(plan, window, name, src, 0, (0.0, ST.DERIV_BIAS))
+        c0 = _coords(geom, window, name, src, 0, (0.0, 0.0), basis)
+        c10 = _coords(geom, window, name, src, 0, (ST.DERIV_BIAS, 0.0),
+                      basis)
+        c01 = _coords(geom, window, name, src, 0, (0.0, ST.DERIV_BIAS),
+                      basis)
         sx, sy, mask, _z = c0
         dux, dvx = _deriv(sx, c10[0], c01[0])
         duy, dvy = _deriv(sy, c10[1], c01[1])
@@ -430,9 +467,12 @@ def render_fast(plan, sources, render_window_fn=None,
     pw = _round_up(out_w, PR.TILE_W)
     window = (y0, y0 + ph, x0, x0 + pw)
 
+    geom = _geom_static(plan)
+    basis = _basis_arg(plan, 0)
     names = _variant_names(src)
     variants = [(n, _variant_spline(src, n)) for n in names]
-    coords = [_coords(plan, window, n, src) for n in names]
+    coords = [_coords(geom, window, n, src, 0, (0.0, 0.0), basis)
+              for n in names]
     img = resample_variants(variants, coords, (ph, pw), plan.nchannels,
                             src.static.brighten, classes, verbose)
     if img is None:
@@ -470,11 +510,14 @@ def render_fast_multi(plan, sources, verbose: bool = False,
     pw = _round_up(out_w, PR.TILE_W)
     window = (y0, y0 + ph, x0, x0 + pw)
 
+    geom = _geom_static(plan)
     px_list, mask_list, score_list = [], [], []
     for fi, src in enumerate(sources):
         names = _variant_names(src)
         variants = [(n, _variant_spline(src, n)) for n in names]
-        coords = [_coords(plan, window, n, src, fi) for n in names]
+        basis = _basis_arg(plan, fi)
+        coords = [_coords(geom, window, n, src, fi, (0.0, 0.0), basis)
+                  for n in names]
         img_f = resample_variants(variants, coords, (ph, pw),
                                   plan.nchannels, src.static.brighten,
                                   classes, verbose, device=True)
