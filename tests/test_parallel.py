@@ -1,0 +1,57 @@
+"""Device-mesh sharded rendering tests (virtual 8-device CPU mesh)."""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from envutil_tpu.core.conventions import Projection
+from envutil_tpu.core.facet import Facet
+from envutil_tpu.core.metrics import get_extent, get_step
+from envutil_tpu.models import environment as E
+from envutil_tpu.parallel.mesh import (make_mesh, replicate_sources,
+                                       sharded_render)
+from envutil_tpu.runtime.args import Args
+from envutil_tpu.runtime.render import build_plan, render_frame
+
+RNG = np.random.default_rng(9)
+
+
+def _make(projection, w, h, hfov):
+    f = Facet(facet_no=0, nchannels=3)
+    f.set_geometry(projection, w, h, hfov)
+    f.step = get_step(projection, w, h, hfov)
+    f.process_geometry()
+    return f
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_render_matches_single_device():
+    img = RNG.uniform(0, 1, (64, 128, 3)).astype(np.float32)
+    fct = _make(Projection.SPHERICAL, 128, 64, 2 * math.pi)
+    src = E.make_mount_source(fct, img, 1, 1)
+
+    args = Args()
+    args.projection = Projection.RECTILINEAR
+    args.width, args.height = 64, 64
+    args.hfov = math.radians(80)
+    args.extent = get_extent(args.projection, 64, 64, args.hfov)
+    args.step = (args.extent.x1 - args.extent.x0) / 64
+    args.yaw = math.radians(30)
+    args.spline_degree = args.prefilter_degree = 1
+    args.twine = 0
+    args.synopsis = "panorama"
+    args.nchannels = 3
+    args.facets = [fct]
+    args.solo = 0
+    plan = build_plan(args, [fct])
+
+    single = render_frame(plan, [src])
+
+    mesh = make_mesh(jax.devices()[:8])
+    srcs = replicate_sources([src], mesh)
+    fn = sharded_render(plan, srcs, mesh)
+    out = jax.block_until_ready(fn(srcs))
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
