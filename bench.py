@@ -37,9 +37,7 @@ def main():
     from envutil_tpu.core.facet import Facet
     from envutil_tpu.core.metrics import get_extent, get_step
     from envutil_tpu.models import environment as E
-    from envutil_tpu.ops import pallas_resample as PR
     from envutil_tpu.runtime.args import Args
-    from envutil_tpu.runtime.fastpath import _coords, _finish
     from envutil_tpu.runtime.render import build_plan
 
     # --- fixture: 8192x4096 synthetic equirect, RGB float32 ----------
@@ -87,65 +85,35 @@ def main():
     plan = build_plan(args, [fct])
 
     window = (0, plan.height, 0, plan.width)
-    basis_dev = jnp.asarray(np.asarray(plan.bases[0], np.float32))
 
-    # per-plan static state (one-time, host side): classify tiles for
-    # every (variant, window class) like the real fast path
-    from envutil_tpu.runtime.fastpath import _variant_names, \
-        _variant_spline
-    names = _variant_names(src)
-    assigned = np.full((plan.height // PR.TILE_H,
-                        plan.width // PR.TILE_W), -1, np.int32)
-    passes = []
-    for name in names:
-        sx, sy, m, _z = _coords(plan, window, name, src, 0,
-                                (0.0, 0.0), basis_dev)
-        spl = _variant_spline(src, name)
-        stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
-        for wc in (PR.LOCAL, PR.DIAG):
-            origins, fast = PR.classify_tiles(
-                stats, spl.coeff.shape[0], spl.coeff.shape[1], 3, wc)
-            take = fast & (assigned < 0)
-            if take.any():
-                assigned[take] = len(passes)
-                org3 = np.concatenate(
-                    [origins, take.reshape(-1, 1).astype(np.int32)], 1)
-                passes.append((name, wc, jnp.asarray(org3)))
+    # one-jit fused frame: per-pass coordinates restricted to each
+    # pass's tile bounding box, planar combine, single finish - the
+    # exact program the fast render path runs per frame
+    from envutil_tpu.runtime.fastpath import fused_frame
+    frame_fn, state, assigned, passes = fused_frame(plan, src, window)
     frac_fast = (assigned >= 0).mean()
     print(f"# fused tiles: {(assigned >= 0).sum()}/{assigned.size} in "
-          f"{len(passes)} passes", file=sys.stderr)
-    sel_full = jnp.asarray(np.repeat(np.repeat(assigned, PR.TILE_H, 0),
-                                     PR.TILE_W, 1))
-    coeffs = {n: jnp.moveaxis(_variant_spline(src, n).coeff, -1, 0)
-              for n in names}
+          f"{len(passes)} passes "
+          f"({', '.join(f'{n}/{wc.name}@{b}' for n, wc, b, _ in passes)})",
+          file=sys.stderr)
 
-    def frame(src_, cps, eps):
-        combined = None
-        for pi, (name, wc, org3) in enumerate(passes):
-            sx, sy, m, _z = _coords(plan, window, name, src_, 0,
-                                    (0.0, 0.0), basis_dev)
-            out = PR.resample_planar(cps[name] + eps, sx, sy, org3,
-                                     degree=3, wc=wc)
-            img_v = _finish(out, m, 3, 1.0)
-            combined = img_v if combined is None else \
-                jnp.where((sel_full == pi)[..., None], img_v, combined)
-        return combined
-
-    f1 = jax.jit(lambda s, cps: frame(s, cps, jnp.float32(0)))
-    out = jax.block_until_ready(f1(src, coeffs))
+    out = jax.block_until_ready(frame_fn(state, jnp.float32(0)))
 
     runs = 8
 
     @jax.jit
-    def loop(src_, cps):
+    def loop(st):
         def body(i, carry):
-            img = frame(src_, cps, carry * 1e-30)
+            # the vanishing carry-dependent coordinate offset defeats
+            # loop-invariant hoisting: every iteration recomputes
+            # coords, kernel passes, and the finish
+            img = frame_fn(st, carry * 1e-30)
             return carry + img.ravel()[0]
         return jax.lax.fori_loop(0, runs, body, jnp.float32(0))
 
-    float(loop(src, coeffs))  # compile + warm
+    float(loop(state))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(src, coeffs))
+    float(loop(state))
     dt = (time.perf_counter() - t0) / runs
 
     n_px = plan.width * plan.height

@@ -43,6 +43,31 @@ def test_resample_matches_eval_spline(degree):
     np.testing.assert_allclose(out, ref, atol=5e-5)
 
 
+@pytest.mark.parametrize("degree", [1, 3])
+def test_resample_aligned_class(degree):
+    # gentle warp fitting ALIGNED's tighter budgets (r4 c2 k6)
+    img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
+    spl = S.make_spline(img, degree, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 128, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    sx = (40 + 0.9 * jj + 3 * np.sin(ii / 60)).astype(np.float32)
+    sy = (30 + 0.8 * ii + 2 * np.sin(jj / 70)).astype(np.float32)
+    ref = S.eval_spline(spl, jnp.asarray(sx), jnp.asarray(sy),
+                        apply_gate=False)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    origins, fast = PR.classify_tiles(
+        [np.asarray(s) for s in PR.tile_stats(px, py)],
+        coeffp.shape[1], coeffp.shape[2], degree, PR.ALIGNED)
+    assert fast.all()
+    out = PR.resample_planar(coeffp, px, py, jnp.asarray(origins),
+                             degree=degree, wc=PR.ALIGNED,
+                             interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
+
+
 def test_inactive_tiles_skipped():
     spl, coeffp, px, py, ref = _setup(1)
     stats = PR.tile_stats(px, py)
