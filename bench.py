@@ -92,10 +92,10 @@ def main():
     from envutil_tpu.runtime.fastpath import fused_frame
     frame_fn, state, assigned, passes = fused_frame(plan, src, window)
     frac_fast = (assigned >= 0).mean()
+    mix = ", ".join(f"{n}/{wc.name}:{(assigned == pi).sum()}"
+                    for pi, (n, wc, b, _) in enumerate(passes))
     print(f"# fused tiles: {(assigned >= 0).sum()}/{assigned.size} in "
-          f"{len(passes)} passes "
-          f"({', '.join(f'{n}/{wc.name}@{b}' for n, wc, b, _ in passes)})",
-          file=sys.stderr)
+          f"{len(passes)} passes ({mix})", file=sys.stderr)
 
     out = jax.block_until_ready(frame_fn(state, jnp.float32(0)))
 

@@ -63,6 +63,9 @@ class WindowClass:
 
 # general local warps (|dy/dx_out| up to ~0.4, sublane x-drift <= 4)
 LOCAL = WindowClass(win_h=384, win_w=512, cand_r=8, cand_c=3, k_taps=8)
+# near-axis-aligned, near-unit-scale tiles (e.g. cube-face centers):
+# minimal candidate budgets, ~2x cheaper per tile than ALIGNED
+TIGHT = WindowClass(win_h=192, win_w=384, cand_r=3, cand_c=2, k_taps=5)
 # gentler warps (axis-aligned reprojections): smaller budgets, faster
 ALIGNED = WindowClass(win_h=256, win_w=384, cand_r=4, cand_c=2, k_taps=6)
 # diagonal warps (e.g. 90-degree-pitched equirect re-parametrization):
@@ -77,22 +80,6 @@ def aligned_dims(hp: int, wp: int, wc: WindowClass) -> Tuple[int, int]:
     ha = max(wc.win_h, ((hp + 7) // 8) * 8)
     wa = max(wc.win_w, ((wp + 127) // 128) * 128)
     return ha, wa
-
-
-def _bspline_basis_jnp(degree: int, u):
-    """Cardinal b-spline basis value B_degree(u), elementwise jnp
-    (Cox-de Boor over integer knots; runs on the VPU, shared across
-    channels)."""
-    t = u + (degree + 1) * 0.5
-    vals = [jnp.where((t >= i) & (t < i + 1), 1.0, 0.0)
-            for i in range(degree + 1)]
-    for p in range(1, degree + 1):
-        nxt = []
-        for i in range(len(vals) - 1):
-            nxt.append((t - i) / p * vals[i]
-                       + ((i + 1 + p) - t) / p * vals[i + 1])
-        vals = nxt
-    return vals[0]
 
 
 def _weights_poly(t, degree):
@@ -112,6 +99,99 @@ def _split(c, degree):
     else:
         sel = jnp.floor(c + 0.5)
     return sel.astype(jnp.int32), c - sel
+
+
+def _eval_row_block(sx, sy, win_ref, *, degree: int, wc: WindowClass,
+                    nch: int):
+    """Evaluate the exact tensor-product spline for one (8, TILE_W)
+    vreg row-block. ``sx``/``sy`` are window-relative continuous
+    coordinates; ``win_ref`` is the (nch, win_h, win_w) VMEM window.
+    Returns the per-channel list of (8, TILE_W) value vregs."""
+    n1 = degree + 1
+    off = degree // 2
+
+    # vertical: per-element base + exact split weights
+    sely, ty = _split(sy, degree)
+    by = sely - off
+    rb_min = jnp.min(by)
+    rb0 = jnp.clip((rb_min // 8) * 8, 0, wc.win_h - 8 * wc.cand_r)
+    rb0 = pl.multiple_of(rb0, 8)
+    ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
+    wy = _weights_poly(ty, degree)
+
+    # horizontal: sublane-constant tap base per lane
+    selx, tx = _split(sx, degree)
+    bx = selx - off
+    bxc = jnp.broadcast_to(jnp.min(bx, axis=0, keepdims=True),
+                           (8, TILE_W))
+    cb_min = jnp.min(bxc)
+    cb0 = jnp.clip((cb_min // 128) * 128, 0,
+                   wc.win_w - 128 * wc.cand_c)
+    cb0 = pl.multiple_of(cb0, 128)
+    lxc = jnp.clip(bxc - cb0, 0, 128 * wc.cand_c - 1)
+
+    # per-(kappa) horizontal weights: tap bxc+kappa serves pixel
+    # column bx+j exactly when kappa == delta+j (delta = bx-bxc,
+    # the sublane drift), so the exact tap weight is the Horner
+    # spline weight w_j(tx) routed by a delta select - same values
+    # as evaluating the basis at the true distance, much cheaper
+    delta = bx - bxc
+    wx = _weights_poly(tx, degree)
+    wk = []
+    for k in range(wc.k_taps):
+        acc_w = None
+        for j in range(n1):
+            if k - j < 0:
+                continue
+            hit = delta == (k - j)
+            acc_w = jnp.where(hit, wx[j],
+                              0.0 if acc_w is None else acc_w)
+        wk.append(acc_w if acc_w is not None
+                  else jnp.zeros((8, TILE_W), jnp.float32))
+    # combined (j, kappa) weights, shared across channels
+    wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
+           for j in range(n1)]
+
+    rr = [(ly + j) & 7 for j in range(n1)]
+    qb = [(ly + j) >> 3 for j in range(n1)]
+
+    # per-kappa column index fields, shared across channels
+    qcs, rcs = [], []
+    for k in range(wc.k_taps):
+        cx = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
+        qcs.append(cx >> 7)
+        rcs.append(cx & 127)
+
+    accs = []
+    for ch in range(nch):
+        blocks = [
+            [win_ref[ch, pl.ds(rb0 + 8 * b, 8),
+                     pl.ds(cb0 + 128 * cc, 128)]
+             for cc in range(wc.cand_c)]
+            for b in range(wc.cand_r)
+        ]
+        acc = jnp.zeros((8, TILE_W), jnp.float32)
+        for k in range(wc.k_taps):
+            qc = qcs[k]
+            rc = rcs[k]
+            # column-resolved raw rows, all candidate row-blocks
+            tb = []
+            for b in range(wc.cand_r):
+                v = jnp.take_along_axis(blocks[b][0], rc, axis=1)
+                for cc in range(1, wc.cand_c):
+                    g = jnp.take_along_axis(blocks[b][cc], rc,
+                                            axis=1)
+                    v = jnp.where(qc == cc, g, v)
+                tb.append(v)
+            # per-element row resolve for each vertical tap
+            for j in range(n1):
+                v = jnp.take_along_axis(tb[0], rr[j], axis=0)
+                for b in range(1, wc.cand_r):
+                    g = jnp.take_along_axis(tb[b], rr[j], axis=0)
+                    v = jnp.where(qb[j] == b, g, v)
+                acc = acc + wjk[j][k] * v
+        accs.append(acc)
+    return accs
 
 
 def _resample_kernel(origins_ref,            # scalar prefetch (nt, 2)
@@ -137,75 +217,16 @@ def _resample_kernel(origins_ref,            # scalar prefetch (nt, 2)
         copy.start()
         copy.wait()
 
-    n1 = degree + 1
-    off = degree // 2
     oyf = oy.astype(jnp.float32)
     oxf = ox.astype(jnp.float32)
 
     def row_body(r, _):
         sx = sx_ref[pl.ds(r * 8, 8), :] - oxf
         sy = sy_ref[pl.ds(r * 8, 8), :] - oyf
-
-        # vertical: per-element base + exact split weights
-        sely, ty = _split(sy, degree)
-        by = sely - off
-        rb_min = jnp.min(by)
-        rb0 = jnp.clip((rb_min // 8) * 8, 0, wc.win_h - 8 * wc.cand_r)
-        rb0 = pl.multiple_of(rb0, 8)
-        ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
-        wy = _weights_poly(ty, degree)
-
-        # horizontal: sublane-constant tap base per lane
-        selx, _tx = _split(sx, degree)
-        bx = selx - off
-        bxc = jnp.broadcast_to(jnp.min(bx, axis=0, keepdims=True),
-                               (8, TILE_W))
-        cb_min = jnp.min(bxc)
-        cb0 = jnp.clip((cb_min // 128) * 128, 0,
-                       wc.win_w - 128 * wc.cand_c)
-        cb0 = pl.multiple_of(cb0, 128)
-        lxc = jnp.clip(bxc - cb0, 0, 128 * wc.cand_c - 1)
-
-        # per-(kappa) horizontal weights: exact basis at true distance
-        bxcf = bxc.astype(jnp.float32)
-        wk = [_bspline_basis_jnp(degree, sx - (bxcf + k))
-              for k in range(wc.k_taps)]
-        # combined (j, kappa) weights, shared across channels
-        wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
-               for j in range(n1)]
-
-        rr = [(ly + j) & 7 for j in range(n1)]
-        qb = [(ly + j) >> 3 for j in range(n1)]
-
+        accs = _eval_row_block(sx, sy, win_ref, degree=degree, wc=wc,
+                               nch=nch)
         for ch in range(nch):
-            blocks = [
-                [win_ref[ch, pl.ds(rb0 + 8 * b, 8),
-                         pl.ds(cb0 + 128 * cc, 128)]
-                 for cc in range(wc.cand_c)]
-                for b in range(wc.cand_r)
-            ]
-            acc = jnp.zeros((8, TILE_W), jnp.float32)
-            for k in range(wc.k_taps):
-                cx = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
-                qc = cx >> 7
-                rc = cx & 127
-                # column-resolved raw rows, all candidate row-blocks
-                tb = []
-                for b in range(wc.cand_r):
-                    v = jnp.take_along_axis(blocks[b][0], rc, axis=1)
-                    for cc in range(1, wc.cand_c):
-                        g = jnp.take_along_axis(blocks[b][cc], rc,
-                                                axis=1)
-                        v = jnp.where(qc == cc, g, v)
-                    tb.append(v)
-                # per-element row resolve for each vertical tap
-                for j in range(n1):
-                    v = jnp.take_along_axis(tb[0], rr[j], axis=0)
-                    for b in range(1, wc.cand_r):
-                        g = jnp.take_along_axis(tb[b], rr[j], axis=0)
-                        v = jnp.where(qb[j] == b, g, v)
-                    acc = acc + wjk[j][k] * v
-            out_ref[ch, pl.ds(r * 8, 8), :] = acc
+            out_ref[ch, pl.ds(r * 8, 8), :] = accs[ch]
         return _
 
     @pl.when(active != 0)
@@ -266,6 +287,91 @@ def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((nch, h, w), jnp.float32),
         interpret=interpret,
     )(origins, sx, sy, coeff)
+
+
+def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
+                          sx_ref, sy_ref,     # (TILE_H, TILE_W) VMEM
+                          coeff_ref,          # (C, Hp, Wp) HBM/ANY
+                          canvas_ref,         # aliased output (unread)
+                          out_ref,            # (C, TILE_H, TILE_W) VMEM
+                          win_ref, sem,
+                          *, degree: int, wc: WindowClass, nch: int):
+    t = pl.program_id(0)
+    oy = pl.multiple_of(tiles_ref[t * 6 + 4], 8)
+    ox = pl.multiple_of(tiles_ref[t * 6 + 5], 128)
+    copy = pltpu.make_async_copy(
+        coeff_ref.at[:, pl.ds(oy, wc.win_h), pl.ds(ox, wc.win_w)],
+        win_ref, sem)
+    copy.start()
+    copy.wait()
+    oyf = oy.astype(jnp.float32)
+    oxf = ox.astype(jnp.float32)
+
+    def row_body(r, _):
+        sx = sx_ref[pl.ds(r * 8, 8), :] - oxf
+        sy = sy_ref[pl.ds(r * 8, 8), :] - oyf
+        accs = _eval_row_block(sx, sy, win_ref, degree=degree, wc=wc,
+                               nch=nch)
+        for ch in range(nch):
+            out_ref[ch, pl.ds(r * 8, 8), :] = accs[ch]
+        return _
+
+    jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "wc",
+                                             "interpret"))
+def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
+                         sx: jnp.ndarray, sy: jnp.ndarray,
+                         tiles: jnp.ndarray, *, degree: int,
+                         wc: WindowClass = LOCAL,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Compact-grid variant of resample_planar: one grid step per
+    listed tile (no inactive steps, no per-tile traffic for tiles the
+    pass does not own), writing straight into ``canvas`` (donated and
+    returned - tiles not listed keep their previous contents).
+    ``tiles`` is int32 (nt, 6): (in_by, in_bx, out_by, out_bx, oy, ox)
+    with in_* the (TILE_H, TILE_W) block indices into sx/sy (which may
+    be a crop), out_* the block indices into canvas, and (oy, ox) the
+    aligned source-window origin (oy % 8 == 0, ox % 128 == 0)."""
+    nch, hp, wp = coeff.shape
+    ha, wa = aligned_dims(hp, wp, wc)
+    if (ha, wa) != (hp, wp):
+        coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
+                        mode="edge")
+        nch, hp, wp = coeff.shape
+    nt = tiles.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda t, o: (o[t * 6], o[t * 6 + 1]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda t, o: (o[t * 6], o[t * 6 + 1]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (nch, TILE_H, TILE_W),
+            lambda t, o: (0, o[t * 6 + 2], o[t * 6 + 3]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nch, wc.win_h, wc.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(_resample_kernel_into, degree=degree,
+                             wc=wc, nch=nch)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
+        input_output_aliases={4: 0},  # canvas (incl. scalar operand)
+        interpret=interpret,
+    )(tiles.reshape(-1), sx, sy, coeff, canvas)
 
 
 # ---------------------------------------------------------------------------
@@ -336,18 +442,34 @@ def _twined_kernel(origins_ref, spread_ref,     # scalar prefetch
             by = sely - off
             ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
             wy = _weights_poly(ty, degree)
-            selx, _tx = _split(sxt, degree)
+            selx, tx = _split(sxt, degree)
             bx = selx - off
             bxc = jnp.broadcast_to(
                 jnp.min(bx, axis=0, keepdims=True), (8, TILE_W))
             lxc = jnp.clip(bxc - cb0, 0, 128 * wc.cand_c - 1)
-            bxcf = bxc.astype(jnp.float32)
-            wk = [_bspline_basis_jnp(degree, sxt - (bxcf + k))
-                  for k in range(wc.k_taps)]
+            # exact tap weights routed by the sublane drift (see
+            # _resample_kernel)
+            delta = bx - bxc
+            wx = _weights_poly(tx, degree)
+            wk = []
+            for k in range(wc.k_taps):
+                acc_w = None
+                for j in range(n1):
+                    if k - j < 0:
+                        continue
+                    acc_w = jnp.where(delta == (k - j), wx[j],
+                                      0.0 if acc_w is None else acc_w)
+                wk.append(acc_w if acc_w is not None
+                          else jnp.zeros((8, TILE_W), jnp.float32))
             wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
                    for j in range(n1)]
             rr = [(ly + j) & 7 for j in range(n1)]
             qb = [(ly + j) >> 3 for j in range(n1)]
+            qcs, rcs = [], []
+            for k in range(wc.k_taps):
+                cxi = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
+                qcs.append(cxi >> 7)
+                rcs.append(cxi & 127)
 
             for ch in range(nch):
                 blocks = [
@@ -358,9 +480,8 @@ def _twined_kernel(origins_ref, spread_ref,     # scalar prefetch
                 ]
                 val = jnp.zeros((8, TILE_W), jnp.float32)
                 for k in range(wc.k_taps):
-                    cxi = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
-                    qc = cxi >> 7
-                    rc = cxi & 127
+                    qc = qcs[k]
+                    rc = rcs[k]
                     tb = []
                     for b in range(wc.cand_r):
                         v = jnp.take_along_axis(blocks[b][0], rc,
@@ -437,6 +558,10 @@ def resample_twined(coeff, sx, sy, dux, duy, dvx, dvy, origins,
                              nch=nch, ntx=ntx, n_taps=n_taps,
                              cmax_x=cmax_x, cmax_y=cmax_y)
     if origins.ndim == 2:
+        if origins.shape[1] == 2:  # no active column: all tiles on
+            origins = jnp.concatenate(
+                [origins, jnp.ones((origins.shape[0], 1), jnp.int32)],
+                axis=1)
         origins = origins.reshape(-1)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,

@@ -303,49 +303,70 @@ def plan_passes(plan, src, window, classes, fi: int = 0):
     passes for seam/pole variants never touch the whole frame.
 
     Returns ``(passes, assigned)`` with passes a list of
-    ``(name, wc, box, org3)``: variant name, window class, tile-grid
-    bounding box (ty0, ty1, tx0, tx1), and int32 (nt_box, 3) per-tile
-    (oy, ox, active) origins over the box grid."""
+    ``(name, wc, box, tiles)``: variant name, window class, tile-grid
+    bounding box (ty0, ty1, tx0, tx1) the coordinates are computed
+    over, and int32 (nt, 6) compact tile rows (in_by, in_bx, out_by,
+    out_bx, oy, ox) for resample_planar_into - one row per tile the
+    pass owns."""
     geom = _geom_static(plan)
     basis = _basis_arg(plan, fi)
     names = _variant_names(src)
     y0, y1, x0, x1 = window
     nty, ntx = (y1 - y0) // PR.TILE_H, (x1 - x0) // PR.TILE_W
     assigned = np.full((nty, ntx), -1, np.int32)
+
+    # coverage (ZERO_PASS) from the facet's own parametrization
+    _sx0, _sy0, mask, _z0 = _coords(geom, window, "orig", src, fi,
+                                    (0.0, 0.0), basis)
+    covered = np.asarray(mask).reshape(
+        nty, PR.TILE_H, ntx, PR.TILE_W).any(axis=(1, 3))
+    assigned[~covered] = ZERO_PASS
+
+    # pass priority: cheapest window class first across the exact
+    # variants (orig/rolled are exact re-parametrizations), then the
+    # approximate pitched copies, and the expensive DIAG budgets as a
+    # global last resort - a DIAG tile costs ~4x a LOCAL tile, so a
+    # pole tile the pitched copy serves at a cheap class should never
+    # burn a DIAG pass on the original parametrization
+    exact = [n for n in names if not n.startswith("pitched")]
+    approx = [n for n in names if n.startswith("pitched")]
+    cheap = [wc for wc in classes if wc != PR.DIAG]
+    last = [wc for wc in classes if wc == PR.DIAG]
+    order = ([(wc, n) for wc in cheap for n in exact]
+             + [(wc, n) for wc in cheap for n in approx]
+             + [(wc, n) for wc in last for n in names])
+
     passes = []
-    for vidx, name in enumerate(names):
+    stats_cache = {}
+    for wc, name in order:
         rem = assigned == -1
         if not rem.any():
             break
-        if vidx == 0:
-            box = (0, nty, 0, ntx)
-        else:
-            ys, xs = np.nonzero(rem)
-            box = (int(ys.min()), int(ys.max()) + 1,
-                   int(xs.min()), int(xs.max()) + 1)
-        bwin = _box_window(window, box)
-        sx, sy, mask, _z = _coords(geom, bwin, name, src, fi,
-                                   (0.0, 0.0), basis)
-        if vidx == 0:
-            covered = np.asarray(mask).reshape(
-                nty, PR.TILE_H, ntx, PR.TILE_W).any(axis=(1, 3))
-            assigned[~covered] = ZERO_PASS
+        ys, xs = np.nonzero(rem)
+        box = (int(ys.min()), int(ys.max()) + 1,
+               int(xs.min()), int(xs.max()) + 1)
         spl = _variant_spline(src, name)
-        stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
+        if (name, box) not in stats_cache:
+            bwin = _box_window(window, box)
+            sx, sy, _m, _z = _coords(geom, bwin, name, src, fi,
+                                     (0.0, 0.0), basis)
+            stats_cache[name, box] = [np.asarray(s)
+                                      for s in PR.tile_stats(sx, sy)]
+        stats = stats_cache[name, box]
         bty0, bty1, btx0, btx1 = box
-        for wc in classes:
-            origins, fast = PR.classify_tiles(
-                stats, spl.coeff.shape[0], spl.coeff.shape[1],
-                spl.degree, wc)
-            take = fast & (assigned[bty0:bty1, btx0:btx1] == -1)
-            if take.any():
-                assigned[bty0:bty1, btx0:btx1][take] = len(passes)
-                org3 = np.concatenate(
-                    [origins, take.reshape(-1, 1).astype(np.int32)],
-                    axis=1)
-                passes.append((name, wc, box, org3))
-            if (assigned[bty0:bty1, btx0:btx1] != -1).all():
-                break
+        bntx = btx1 - btx0
+        origins, fast = PR.classify_tiles(
+            stats, spl.coeff.shape[0], spl.coeff.shape[1],
+            spl.degree, wc)
+        take = fast & rem[bty0:bty1, btx0:btx1]
+        if take.any():
+            assigned[bty0:bty1, btx0:btx1][take] = len(passes)
+            iby, ibx = np.nonzero(take)
+            org = origins[iby * bntx + ibx]
+            tiles = np.column_stack(
+                [iby, ibx, iby + bty0, ibx + btx0,
+                 org[:, 0], org[:, 1]]).astype(np.int32)
+            passes.append((name, wc, box, tiles))
     return passes, assigned
 
 
@@ -356,7 +377,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0):
 _FRAME_CACHE = {}
 
 
-def fused_frame(plan, src, window, classes=(PR.ALIGNED, PR.LOCAL, PR.DIAG),
+def fused_frame(plan, src, window, classes=(PR.TIGHT, PR.ALIGNED, PR.LOCAL, PR.DIAG),
                 fi: int = 0, nch_out=None, brighten=None):
     """Build the one-jit fused frame for a solo render: per-pass
     coordinates restricted to the pass's tile bounding box, planar
@@ -378,23 +399,21 @@ def fused_frame(plan, src, window, classes=(PR.ALIGNED, PR.LOCAL, PR.DIAG),
     nch_in = src.spl.coeff.shape[-1]
     y0, y1, x0, x1 = window
     ph, pw = y1 - y0, x1 - x0
+    full_box = (0, ph // PR.TILE_H, 0, pw // PR.TILE_W)
 
     state = {"src": src, "basis": _basis_arg(plan, fi),
-             "coeffs": {}, "orgs": [], "sels": []}
-    for pi, (name, wc, box, org3) in enumerate(passes):
+             "coeffs": {}, "tiles": []}
+    for name, wc, box, tiles in passes:
         if name not in state["coeffs"]:
             state["coeffs"][name] = jnp.moveaxis(
                 _variant_spline(src, name).coeff, -1, 0)
-        state["orgs"].append(jnp.asarray(org3))
-        bty0, bty1, btx0, btx1 = box
-        sel = np.repeat(np.repeat(assigned[bty0:bty1, btx0:btx1] == pi,
-                                  PR.TILE_H, 0), PR.TILE_W, 1)
-        state["sels"].append(jnp.asarray(sel))
+        state["tiles"].append(jnp.asarray(tiles))
 
     struct = tuple((name, wc, box,
                     _variant_spline(src, name).degree,
-                    _variant_spline(src, name).coeff.shape)
-                   for name, wc, box, _o in passes)
+                    _variant_spline(src, name).coeff.shape,
+                    tiles.shape[0])
+                   for name, wc, box, tiles in passes)
     key = (geom, window, tuple(classes), fi, nch_out, float(brighten),
            nch_in, struct)
     cached = _FRAME_CACHE.get(key)
@@ -402,26 +421,24 @@ def fused_frame(plan, src, window, classes=(PR.ALIGNED, PR.LOCAL, PR.DIAG),
         return cached, state, assigned, passes
 
     def frame(st, eps):
-        canvas = None
-        for pi, (name, wc, box, degree, _shape) in enumerate(struct):
+        canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
+        mask0 = None
+        for pi, (name, wc, box, degree, _shape, _nt) in \
+                enumerate(struct):
             bwin = _box_window(window, box)
             sx, sy, m, _z = _coords(geom, bwin, name, st["src"], fi,
                                     (0.0, 0.0), st["basis"])
-            out = PR.resample_planar(st["coeffs"][name], sx + eps, sy,
-                                     st["orgs"][pi], degree=degree,
-                                     wc=wc)
-            keep = (st["sels"][pi] & m)[None]
-            if canvas is None:
-                canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
-            py0, py1, px0, px1 = (box[0] * PR.TILE_H, box[1] * PR.TILE_H,
-                                  box[2] * PR.TILE_W, box[3] * PR.TILE_W)
-            if (py0, py1, px0, px1) == (0, ph, 0, pw):
-                canvas = jnp.where(keep, out, canvas)
-            else:
-                region = canvas[:, py0:py1, px0:px1]
-                canvas = canvas.at[:, py0:py1, px0:px1].set(
-                    jnp.where(keep, out, region))
-        img = jnp.moveaxis(canvas, 0, -1)
+            if pi == 0 and box == full_box:
+                mask0 = m
+            canvas = PR.resample_planar_into(
+                canvas, st["coeffs"][name], sx + eps, sy,
+                st["tiles"][pi], degree=degree, wc=wc)
+        if mask0 is None:  # rare: first pass did not span the window
+            _sx, _sy, mask0, _z2 = _coords(geom, window, "orig",
+                                           st["src"], fi, (0.0, 0.0),
+                                           st["basis"])
+        px = jnp.where(mask0[None], canvas, 0.0)
+        img = jnp.moveaxis(px, 0, -1)
         img = E.repix(img, nch_out)
         if brighten != 1.0:
             img = E.apply_brighten(img, brighten)
@@ -470,7 +487,7 @@ def _basis_arg(plan, fi):
     return jnp.asarray(np.asarray(plan.bases[fi], np.float32))
 
 def render_fast_twined(plan, sources, verbose: bool = False,
-                       classes=(PR.ALIGNED, PR.LOCAL, PR.DIAG)
+                       classes=(PR.TIGHT, PR.ALIGNED, PR.LOCAL, PR.DIAG)
                        ) -> Optional[np.ndarray]:
     """Solo render with the twining filter fused into the kernel. Tap
     positions are linearized in coordinate space (the reference
@@ -590,7 +607,7 @@ def render_fast_twined(plan, sources, verbose: bool = False,
 
 def render_fast(plan, sources, render_window_fn=None,
                 verbose: bool = False,
-                classes=(PR.ALIGNED, PR.LOCAL, PR.DIAG)) -> Optional[np.ndarray]:
+                classes=(PR.TIGHT, PR.ALIGNED, PR.LOCAL, PR.DIAG)) -> Optional[np.ndarray]:
     """Render via the Pallas path; returns None if not eligible."""
     if plan.spread is not None:
         if len(sources) == 1:
@@ -662,7 +679,7 @@ def _eligible_multi(plan, sources) -> bool:
 
 
 def render_fast_multi(plan, sources, verbose: bool = False,
-                      classes=(PR.ALIGNED, PR.LOCAL, PR.DIAG)
+                      classes=(PR.TIGHT, PR.ALIGNED, PR.LOCAL, PR.DIAG)
                       ) -> Optional[np.ndarray]:
     """Multi-facet render through the fused kernel: per-facet pixel
     stacks from resample_variants, then the synopsis combine

@@ -44,8 +44,10 @@ def test_resample_matches_eval_spline(degree):
 
 
 @pytest.mark.parametrize("degree", [1, 3])
-def test_resample_aligned_class(degree):
-    # gentle warp fitting ALIGNED's tighter budgets (r4 c2 k6)
+@pytest.mark.parametrize("wc", [PR.TIGHT, PR.ALIGNED],
+                         ids=["tight", "aligned"])
+def test_resample_small_classes(degree, wc):
+    # gentle warp fitting the small-budget classes
     img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
     spl = S.make_spline(img, degree, bcs=(S.MIRROR, S.MIRROR))
     H, W = 128, 256
@@ -59,10 +61,10 @@ def test_resample_aligned_class(degree):
     py = jnp.asarray(sy + spl.pad)
     origins, fast = PR.classify_tiles(
         [np.asarray(s) for s in PR.tile_stats(px, py)],
-        coeffp.shape[1], coeffp.shape[2], degree, PR.ALIGNED)
+        coeffp.shape[1], coeffp.shape[2], degree, wc)
     assert fast.all()
     out = PR.resample_planar(coeffp, px, py, jnp.asarray(origins),
-                             degree=degree, wc=PR.ALIGNED,
+                             degree=degree, wc=wc,
                              interpret=True)
     out = np.moveaxis(np.asarray(out), 0, -1)
     np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
@@ -82,6 +84,37 @@ def test_inactive_tiles_skipped():
     out = np.moveaxis(np.asarray(out), 0, -1)
     np.testing.assert_allclose(out[:128, :128], ref[:128, :128],
                                atol=5e-5)
+
+
+def test_resample_twined_matches_tap_loop():
+    spl, coeffp, px, py, _ref = _setup(3)
+    spread = ((-0.5, -0.25, 0.3), (0.0, 0.0, 0.4), (0.5, 0.25, 0.3))
+    dux = jnp.full(px.shape, 0.6, jnp.float32)
+    duy = jnp.full(px.shape, 0.1, jnp.float32)
+    dvx = jnp.full(px.shape, -0.1, jnp.float32)
+    dvy = jnp.full(px.shape, 0.5, jnp.float32)
+    cmx = max(abs(c[0]) for c in spread)
+    cmy = max(abs(c[1]) for c in spread)
+    mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+    my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+    stats = PR.tile_stats_range(px - mx, px + mx, py - my, py + my)
+    origins, fast = PR.classify_tiles(
+        [np.asarray(s) for s in stats], coeffp.shape[1],
+        coeffp.shape[2], 3, PR.LOCAL)
+    assert fast.all()
+    spread_flat = jnp.asarray(np.asarray(spread, np.float32).ravel())
+    out = PR.resample_twined(coeffp, px, py, dux, duy, dvx, dvy,
+                             jnp.asarray(origins), spread_flat,
+                             degree=3, n_taps=3, cmax_x=cmx,
+                             cmax_y=cmy, wc=PR.LOCAL, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    ref = None
+    for cx, cy, wgt in spread:
+        v = S.eval_spline(spl, px + cx * dux + cy * dvx - spl.pad,
+                          py + cx * duy + cy * dvy - spl.pad,
+                          apply_gate=False)
+        ref = wgt * v if ref is None else ref + wgt * v
+    np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
 
 
 def test_classifier_flags_wide_tiles():
