@@ -68,6 +68,13 @@ LOCAL = WindowClass(win_h=384, win_w=512, cand_r=8, cand_c=3, k_taps=8)
 TIGHT = WindowClass(win_h=192, win_w=384, cand_r=3, cand_c=2, k_taps=5)
 # gentler warps (axis-aligned reprojections): smaller budgets, faster
 ALIGNED = WindowClass(win_h=256, win_w=384, cand_r=4, cand_c=2, k_taps=6)
+# low-drift tiles with moderate lane-direction y variation (gnomonic
+# curvature): same window as TIGHT, more candidate row-blocks
+ROWS4 = WindowClass(win_h=192, win_w=384, cand_r=4, cand_c=2, k_taps=5)
+ROWS6 = WindowClass(win_h=256, win_w=384, cand_r=6, cand_c=2, k_taps=5)
+# axis-aligned but wider-than-vreg x footprints (unit-to-1.5x scales,
+# e.g. cube-face centers): three lane-blocks, small row budget
+MID = WindowClass(win_h=256, win_w=512, cand_r=4, cand_c=3, k_taps=6)
 # diagonal warps (e.g. 90-degree-pitched equirect re-parametrization):
 # ~8x the per-tile cost, used for per-asset preprocessing builds
 DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3, k_taps=16)

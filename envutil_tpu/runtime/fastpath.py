@@ -56,6 +56,11 @@ from ..ops import spline as S
 # pitched image I' satisfies I'(p') = I(PITCH_BASIS @ ray(p'))
 PITCH_BASIS = rotation_rpy(0.0, math.pi / 2, 0.0)
 
+# window classes tried per tile, cheapest first (per-tile kernel cost
+# grows with the candidate budgets; DIAG is the global last resort)
+DEFAULT_CLASSES = (PR.TIGHT, PR.ROWS4, PR.ALIGNED, PR.MID, PR.ROWS6,
+                   PR.LOCAL, PR.DIAG)
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -377,7 +382,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0):
 _FRAME_CACHE = {}
 
 
-def fused_frame(plan, src, window, classes=(PR.TIGHT, PR.ALIGNED, PR.LOCAL, PR.DIAG),
+def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                 fi: int = 0, nch_out=None, brighten=None):
     """Build the one-jit fused frame for a solo render: per-pass
     coordinates restricted to the pass's tile bounding box, planar
@@ -487,7 +492,7 @@ def _basis_arg(plan, fi):
     return jnp.asarray(np.asarray(plan.bases[fi], np.float32))
 
 def render_fast_twined(plan, sources, verbose: bool = False,
-                       classes=(PR.TIGHT, PR.ALIGNED, PR.LOCAL, PR.DIAG)
+                       classes=DEFAULT_CLASSES
                        ) -> Optional[np.ndarray]:
     """Solo render with the twining filter fused into the kernel. Tap
     positions are linearized in coordinate space (the reference
@@ -607,7 +612,7 @@ def render_fast_twined(plan, sources, verbose: bool = False,
 
 def render_fast(plan, sources, render_window_fn=None,
                 verbose: bool = False,
-                classes=(PR.TIGHT, PR.ALIGNED, PR.LOCAL, PR.DIAG)) -> Optional[np.ndarray]:
+                classes=DEFAULT_CLASSES) -> Optional[np.ndarray]:
     """Render via the Pallas path; returns None if not eligible."""
     if plan.spread is not None:
         if len(sources) == 1:
@@ -679,7 +684,7 @@ def _eligible_multi(plan, sources) -> bool:
 
 
 def render_fast_multi(plan, sources, verbose: bool = False,
-                      classes=(PR.TIGHT, PR.ALIGNED, PR.LOCAL, PR.DIAG)
+                      classes=DEFAULT_CLASSES
                       ) -> Optional[np.ndarray]:
     """Multi-facet render through the fused kernel: per-facet pixel
     stacks from resample_variants, then the synopsis combine

@@ -44,8 +44,10 @@ def test_resample_matches_eval_spline(degree):
 
 
 @pytest.mark.parametrize("degree", [1, 3])
-@pytest.mark.parametrize("wc", [PR.TIGHT, PR.ALIGNED],
-                         ids=["tight", "aligned"])
+@pytest.mark.parametrize("wc", [PR.TIGHT, PR.ROWS4, PR.ROWS6,
+                                PR.ALIGNED, PR.MID],
+                         ids=["tight", "r4", "r6", "aligned",
+                              "mid"])
 def test_resample_small_classes(degree, wc):
     # gentle warp fitting the small-budget classes
     img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
