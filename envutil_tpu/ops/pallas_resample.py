@@ -75,6 +75,10 @@ ROWS6 = WindowClass(win_h=256, win_w=384, cand_r=6, cand_c=2, k_taps=5)
 # axis-aligned but wider-than-vreg x footprints (unit-to-1.5x scales,
 # e.g. cube-face centers): three lane-blocks, small row budget
 MID = WindowClass(win_h=256, win_w=512, cand_r=4, cand_c=3, k_taps=6)
+# minification (output coarser than source, up to ~4x): wide lane
+# footprints at low drift - e.g. panorama stitches from higher-res
+# facets, --single re-creations at reduced size
+MINIFY = WindowClass(win_h=512, win_w=896, cand_r=8, cand_c=6, k_taps=6)
 # diagonal warps (e.g. 90-degree-pitched equirect re-parametrization):
 # ~8x the per-tile cost, used for per-asset preprocessing builds
 DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3, k_taps=16)
@@ -388,6 +392,101 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
 # differenced coordinate derivatives - the reference itself linearizes
 # in ray space with the same differencing)
 # ---------------------------------------------------------------------------
+
+def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
+                        sx_ref, sy_ref,
+                        dux_ref, duy_ref, dvx_ref, dvy_ref,
+                        coeff_ref, canvas_ref, out_ref, win_ref, sem,
+                        *, degree: int, wc: WindowClass, nch: int,
+                        n_taps: int):
+    """Compact-grid twined kernel: one grid step per listed tile,
+    writing into the donated canvas. Each tap evaluates through
+    _eval_row_block with its own candidate bases - the classifier's
+    margin budgets (tile_stats_range) guarantee every tap footprint
+    fits, so per-tap bases are valid and tighter than shared ones."""
+    t = pl.program_id(0)
+    oy = pl.multiple_of(tiles_ref[t * 6 + 4], 8)
+    ox = pl.multiple_of(tiles_ref[t * 6 + 5], 128)
+    copy = pltpu.make_async_copy(
+        coeff_ref.at[:, pl.ds(oy, wc.win_h), pl.ds(ox, wc.win_w)],
+        win_ref, sem)
+    copy.start()
+    copy.wait()
+    oyf = oy.astype(jnp.float32)
+    oxf = ox.astype(jnp.float32)
+
+    def row_body(r, _):
+        sl = (pl.ds(r * 8, 8), slice(None))
+        sx = sx_ref[sl] - oxf
+        sy = sy_ref[sl] - oyf
+        dux = dux_ref[sl]
+        duy = duy_ref[sl]
+        dvx = dvx_ref[sl]
+        dvy = dvy_ref[sl]
+
+        def tap_body(ti, acc):
+            cx_t = spread_ref[ti * 3]
+            cy_t = spread_ref[ti * 3 + 1]
+            w_t = spread_ref[ti * 3 + 2]
+            sxt = sx + cx_t * dux + cy_t * dvx
+            syt = sy + cx_t * duy + cy_t * dvy
+            vals = _eval_row_block(sxt, syt, win_ref, degree=degree,
+                                   wc=wc, nch=nch)
+            return tuple(a + w_t * v for a, v in zip(acc, vals))
+
+        acc0 = tuple(jnp.zeros((8, TILE_W), jnp.float32)
+                     for _c in range(nch))
+        acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
+        for ch in range(nch):
+            out_ref[ch, pl.ds(r * 8, 8), :] = acc[ch]
+        return _
+
+    jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "n_taps", "wc",
+                                             "interpret"))
+def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
+                         tiles, spread, *, degree: int, n_taps: int,
+                         wc: WindowClass = LOCAL,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Compact-grid twined resampling into a donated canvas (see
+    resample_planar_into for the tile-row layout)."""
+    nch, hp, wp = coeff.shape
+    ha, wa = aligned_dims(hp, wp, wc)
+    if (ha, wa) != (hp, wp):
+        coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
+                        mode="edge")
+        nch, hp, wp = coeff.shape
+    nt = tiles.shape[0]
+
+    cmap = lambda t, o, s: (o[t * 6], o[t * 6 + 1])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((TILE_H, TILE_W), cmap,
+                               memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.ANY),
+           pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (nch, TILE_H, TILE_W),
+            lambda t, o, s: (0, o[t * 6 + 2], o[t * 6 + 3]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nch, wc.win_h, wc.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(_twined_kernel_into, degree=degree,
+                             wc=wc, nch=nch, n_taps=n_taps)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
+        input_output_aliases={9: 0},
+        interpret=interpret,
+    )(tiles.reshape(-1), spread, sx, sy, dux, duy, dvx, dvy, coeff,
+      canvas)
+
 
 def _twined_kernel(origins_ref, spread_ref,     # scalar prefetch
                    sx_ref, sy_ref,              # center coords

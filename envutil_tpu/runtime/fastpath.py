@@ -19,13 +19,19 @@ XLA gather path - ~100x on TPU. Pipeline:
          sphericals (approximate: one extra resampling) - makes pole
          lookups window-local; built once per asset, disabled by
          --precise;
-  4. one Pallas pass per used variant renders only its tiles (per-tile
-     active flags skip the rest);
+  4. one Pallas pass per used (variant, window-class) pair renders
+     exactly its own tiles - a compact 1D grid with scalar-prefetched
+     tile coordinates driving the block index maps - writing straight
+     into one donated canvas (cheapest class first; the expensive DIAG
+     budgets are a global last resort, preferring the pitched copy's
+     cheap classes for pole tiles);
   5. tiles no variant can serve are re-rendered one by one through the
      XLA path with a dynamic-origin tile renderer (one compiled
      program, many dispatches);
-  6. a final elementwise pass applies mask, channel adaptation,
-     brighten, and the per-tile variant selection.
+  6. a single finish applies mask, channel adaptation, and brighten;
+     the whole frame is one compiled program, cached on the pass
+     structure (rotations and tile origins are traced, so interactive
+     serving does not recompile per frame).
 
 This mirrors the reference's own design principles at TPU granularity:
 the classifier is its coarse-mask/tiling idea (envutil_payload.cc:
@@ -59,7 +65,7 @@ PITCH_BASIS = rotation_rpy(0.0, math.pi / 2, 0.0)
 # window classes tried per tile, cheapest first (per-tile kernel cost
 # grows with the candidate budgets; DIAG is the global last resort)
 DEFAULT_CLASSES = (PR.TIGHT, PR.ROWS4, PR.ALIGNED, PR.MID, PR.ROWS6,
-                   PR.LOCAL, PR.DIAG)
+                   PR.LOCAL, PR.MINIFY, PR.DIAG)
 
 
 def _round_up(x, m):
@@ -177,38 +183,6 @@ def _eval_tile_xla(coeff, sx, sy, origin, degree):
 ZERO_PASS = -2  # tile not covered by the facet: output is zeros
 
 
-def _classify_passes(variants, coords, out_shape, classes):
-    """Assign each output tile the first (variant, window-class) pair
-    whose budgets it fits. Returns (assigned (nty, ntx), passes)."""
-    h, w = out_shape
-    nty, ntx = h // PR.TILE_H, w // PR.TILE_W
-    assigned = np.full((nty, ntx), -1, np.int32)
-    # tiles the facet doesn't cover at all render as zeros without any
-    # kernel or fallback work (the reference's all-miss fast path,
-    # envutil_payload.cc:902-910, at tile granularity)
-    mask0 = np.asarray(coords[0][2])
-    covered = mask0.reshape(nty, PR.TILE_H, ntx, PR.TILE_W) \
-        .any(axis=(1, 3))
-    assigned[~covered] = ZERO_PASS
-    passes = []
-    for vi, ((name, spl), crd) in enumerate(zip(variants, coords)):
-        sx, sy = crd[0], crd[1]
-        stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
-        hp, wp = spl.coeff.shape[0], spl.coeff.shape[1]
-        for wc in classes:
-            origins, fast = PR.classify_tiles(stats, hp, wp,
-                                              spl.degree, wc)
-            take = fast & (assigned == -1)
-            if take.any():
-                assigned[take] = len(passes)
-                passes.append((vi, wc, origins, take))
-            if (assigned != -1).all():
-                break
-        if (assigned != -1).all():
-            break
-    return assigned, passes
-
-
 @functools.partial(jax.jit, static_argnames=("degree", "nch_out",
                                              "brighten"))
 def _patch_tile(img, coeff, sx, sy, mask, origin, degree, nch_out,
@@ -222,76 +196,6 @@ def _patch_tile(img, coeff, sx, sy, mask, origin, degree, nch_out,
     return jax.lax.dynamic_update_slice(img, tile, (oy, ox, 0))
 
 
-def resample_variants(variants, coords, out_shape, nch_out: int,
-                      brighten: float, classes, verbose: bool = False,
-                      device: bool = False):
-    """Core of the fast path, also used for per-asset preprocessing
-    builds and per-facet stacks: resample through a list of source
-    variants (each (name, Spline2D) with matching (sx, sy, mask[, z])
-    coordinate arrays). One Pallas pass per used (variant, class) pair;
-    remaining tiles are patched with the exact XLA evaluation at the
-    first variant's coordinates. Returns the finished (H, W, nch_out)
-    image (numpy, or a device array when ``device``), or None if
-    nothing fused."""
-    assigned, passes = _classify_passes(variants, coords, out_shape,
-                                        classes)
-    n_fast = int((assigned >= 0).sum())
-    n_zero = int((assigned == ZERO_PASS).sum())
-    if verbose:
-        used = {}
-        for pi, (vi, wc, _, take) in enumerate(passes):
-            key = f"{variants[vi][0]}/{wc.name}"
-            used[key] = used.get(key, 0) + int((assigned == pi).sum())
-        extra = f", {n_zero} empty" if n_zero else ""
-        print(f"fastpath: {n_fast}/{assigned.size} tiles fused "
-              f"({', '.join(f'{k}:{v}' for k, v in used.items() if v)}"
-              f"{extra})")
-    if n_fast == 0 and n_zero < assigned.size:
-        return None
-    h, w = out_shape
-    if n_fast == 0:  # facet covers nothing in this window
-        zero = jnp.zeros((h, w, nch_out), jnp.float32)
-        return zero if device else np.array(zero)
-
-    combined = None
-    sel_full = jnp.asarray(np.repeat(np.repeat(assigned, PR.TILE_H, 0),
-                                     PR.TILE_W, 1))
-    for pi, (vi, wc, origins, take) in enumerate(passes):
-        name, spl = variants[vi]
-        sx, sy, mask = coords[vi][0], coords[vi][1], coords[vi][2]
-        org3 = np.concatenate(
-            [origins, take.reshape(-1, 1).astype(np.int32)], axis=1)
-        coeff_planar = jnp.moveaxis(spl.coeff, -1, 0)
-        out_planar = PR.resample_planar(coeff_planar, sx, sy,
-                                        jnp.asarray(org3),
-                                        degree=spl.degree, wc=wc)
-        img_v = _finish(out_planar, mask, nch_out, brighten)
-        if combined is None:
-            combined = img_v
-        else:
-            combined = jnp.where((sel_full == pi)[..., None], img_v,
-                                 combined)
-
-    if n_zero:
-        combined = jnp.where((sel_full == ZERO_PASS)[..., None], 0.0,
-                             combined)
-
-    bad = np.argwhere(assigned == -1)
-    if bad.size:
-        if verbose:
-            print(f"fastpath: {len(bad)} tiles via XLA fallback")
-        name0, spl0 = variants[0]
-        sx0, sy0, mask0 = coords[0][0], coords[0][1], coords[0][2]
-        for ti, tj in bad:
-            oy, ox = int(ti) * PR.TILE_H, int(tj) * PR.TILE_W
-            combined = _patch_tile(combined, spl0.coeff, sx0, sy0,
-                                   mask0,
-                                   (jnp.int32(oy), jnp.int32(ox)),
-                                   spl0.degree, nch_out, brighten)
-    if device:
-        return combined
-    return np.array(jax.device_get(combined), np.float32)
-
 
 def _box_window(window, box):
     """Pixel window of a tile-grid bounding box within ``window``."""
@@ -301,11 +205,15 @@ def _box_window(window, box):
             x0 + tx0 * PR.TILE_W, x0 + tx1 * PR.TILE_W)
 
 
-def plan_passes(plan, src, window, classes, fi: int = 0):
-    """Host-side pass planner. Like ``_classify_passes`` but each
-    variant after the first is only evaluated over the tile bounding
-    box of the still-unassigned tiles, so the expensive coordinate
-    passes for seam/pole variants never touch the whole frame.
+def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
+    """Host-side pass planner: each (window class, variant) pair is
+    only evaluated over the tile bounding box of the still-unassigned
+    tiles, so the expensive coordinate passes for seam/pole variants
+    never touch the whole frame.
+
+    ``spread`` (bias-folded (cx, cy, w) taps) switches to twined
+    classification: budgets are checked against the full tap footprint
+    (tile_stats_range over the derivative margins).
 
     Returns ``(passes, assigned)`` with passes a list of
     ``(name, wc, box, tiles)``: variant name, window class, tile-grid
@@ -353,10 +261,26 @@ def plan_passes(plan, src, window, classes, fi: int = 0):
         spl = _variant_spline(src, name)
         if (name, box) not in stats_cache:
             bwin = _box_window(window, box)
-            sx, sy, _m, _z = _coords(geom, bwin, name, src, fi,
-                                     (0.0, 0.0), basis)
-            stats_cache[name, box] = [np.asarray(s)
-                                      for s in PR.tile_stats(sx, sy)]
+            if spread is None:
+                sx, sy, _m, _z = _coords(geom, bwin, name, src, fi,
+                                         (0.0, 0.0), basis)
+                raw = PR.tile_stats(sx, sy)
+            else:
+                c0 = _coords(geom, bwin, name, src, fi, (0.0, 0.0),
+                             basis)
+                c10 = _coords(geom, bwin, name, src, fi,
+                              (ST.DERIV_BIAS, 0.0), basis)
+                c01 = _coords(geom, bwin, name, src, fi,
+                              (0.0, ST.DERIV_BIAS), basis)
+                dux, dvx = _deriv(c0[0], c10[0], c01[0])
+                duy, dvy = _deriv(c0[1], c10[1], c01[1])
+                cmx = max(abs(c[0]) for c in spread)
+                cmy = max(abs(c[1]) for c in spread)
+                mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+                my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+                raw = PR.tile_stats_range(c0[0] - mx, c0[0] + mx,
+                                          c0[1] - my, c0[1] + my)
+            stats_cache[name, box] = [np.asarray(s) for s in raw]
         stats = stats_cache[name, box]
         bty0, bty1, btx0, btx1 = box
         bntx = btx1 - btx0
@@ -383,12 +307,15 @@ _FRAME_CACHE = {}
 
 
 def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
-                fi: int = 0, nch_out=None, brighten=None):
+                fi: int = 0, nch_out=None, brighten=None,
+                spread=None):
     """Build the one-jit fused frame for a solo render: per-pass
-    coordinates restricted to the pass's tile bounding box, planar
-    per-pass combine, and a single finish (transpose + channel
-    adaptation + brighten) at the end - the whole frame is one XLA
-    program so the elementwise stages fuse.
+    coordinates restricted to the pass's tile bounding box, compact
+    per-tile kernel grids writing into one donated canvas, and a
+    single finish (mask + transpose + channel adaptation + brighten)
+    at the end - the whole frame is one XLA program so the elementwise
+    stages fuse. ``spread`` (bias-folded (cx, cy, w) taps) fuses the
+    twining filter into the kernel passes.
 
     Returns ``(frame_fn, state, assigned, passes)``; ``frame_fn(state,
     eps)`` is compiled (cached on the pass structure) and returns the
@@ -397,7 +324,8 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
     vanishing carry-dependent value to defeat loop hoisting). Tiles
     with ``assigned == -1`` hold zeros and must be patched by the
     caller; ``assigned == ZERO_PASS`` tiles are genuinely empty."""
-    passes, assigned = plan_passes(plan, src, window, classes, fi)
+    passes, assigned = plan_passes(plan, src, window, classes, fi,
+                                   spread)
     geom = _geom_static(plan)
     nch_out = plan.nchannels if nch_out is None else nch_out
     brighten = src.static.brighten if brighten is None else brighten
@@ -408,6 +336,9 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
 
     state = {"src": src, "basis": _basis_arg(plan, fi),
              "coeffs": {}, "tiles": []}
+    if spread is not None:
+        state["spread"] = jnp.asarray(
+            np.asarray(spread, np.float32).reshape(-1))
     for name, wc, box, tiles in passes:
         if name not in state["coeffs"]:
             state["coeffs"][name] = jnp.moveaxis(
@@ -420,10 +351,13 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                     tiles.shape[0])
                    for name, wc, box, tiles in passes)
     key = (geom, window, tuple(classes), fi, nch_out, float(brighten),
-           nch_in, struct)
+           nch_in, struct,
+           tuple(spread) if spread is not None else None)
     cached = _FRAME_CACHE.get(key)
     if cached is not None:
         return cached, state, assigned, passes
+
+    n_taps = len(spread) if spread is not None else 0
 
     def frame(st, eps):
         canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
@@ -431,13 +365,27 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
         for pi, (name, wc, box, degree, _shape, _nt) in \
                 enumerate(struct):
             bwin = _box_window(window, box)
-            sx, sy, m, _z = _coords(geom, bwin, name, st["src"], fi,
-                                    (0.0, 0.0), st["basis"])
+            c0 = _coords(geom, bwin, name, st["src"], fi, (0.0, 0.0),
+                         st["basis"])
+            sx, sy, m = c0[0], c0[1], c0[2]
             if pi == 0 and box == full_box:
                 mask0 = m
-            canvas = PR.resample_planar_into(
-                canvas, st["coeffs"][name], sx + eps, sy,
-                st["tiles"][pi], degree=degree, wc=wc)
+            if spread is None:
+                canvas = PR.resample_planar_into(
+                    canvas, st["coeffs"][name], sx + eps, sy,
+                    st["tiles"][pi], degree=degree, wc=wc)
+            else:
+                c10 = _coords(geom, bwin, name, st["src"], fi,
+                              (ST.DERIV_BIAS, 0.0), st["basis"])
+                c01 = _coords(geom, bwin, name, st["src"], fi,
+                              (0.0, ST.DERIV_BIAS), st["basis"])
+                dux, dvx = _deriv(sx, c10[0], c01[0])
+                duy, dvy = _deriv(sy, c10[1], c01[1])
+                canvas = PR.resample_twined_into(
+                    canvas, st["coeffs"][name], sx + eps, sy,
+                    dux, duy, dvx, dvy, st["tiles"][pi],
+                    st["spread"], degree=degree, n_taps=n_taps,
+                    wc=wc)
         if mask0 is None:  # rare: first pass did not span the window
             _sx, _sy, mask0, _z2 = _coords(geom, window, "orig",
                                            st["src"], fi, (0.0, 0.0),
@@ -514,91 +462,39 @@ def render_fast_twined(plan, sources, verbose: bool = False,
     bias = 1.0 / ST.DERIV_BIAS
     spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
                    for (cx, cy, w) in plan.spread)
-    spread_flat = jnp.asarray(np.asarray(spread, np.float32).reshape(-1))
-    cmax_x = max(abs(c[0]) for c in spread)
-    cmax_y = max(abs(c[1]) for c in spread)
 
-    geom = _geom_static(plan)
-    basis = _basis_arg(plan, 0)
-    names = _variant_names(src)
-    assigned = None
-    passes = []
-    data = {}
-    for name in names:
-        spl = _variant_spline(src, name)
-        c0 = _coords(geom, window, name, src, 0, (0.0, 0.0), basis)
-        c10 = _coords(geom, window, name, src, 0, (ST.DERIV_BIAS, 0.0),
-                      basis)
-        c01 = _coords(geom, window, name, src, 0, (0.0, ST.DERIV_BIAS),
-                      basis)
-        sx, sy, mask, _z = c0
-        dux, dvx = _deriv(sx, c10[0], c01[0])
-        duy, dvy = _deriv(sy, c10[1], c01[1])
-        data[name] = (sx, sy, dux, duy, dvx, dvy, mask)
-        mx = cmax_x * jnp.abs(dux) + cmax_y * jnp.abs(dvx)
-        my = cmax_x * jnp.abs(duy) + cmax_y * jnp.abs(dvy)
-        stats = PR.tile_stats_range(sx - mx, sx + mx, sy - my, sy + my)
-        stats = [np.asarray(s) for s in stats]
-        if assigned is None:
-            nty, ntx = ph // PR.TILE_H, pw // PR.TILE_W
-            assigned = np.full((nty, ntx), -1, np.int32)
-            covered = np.asarray(mask).reshape(
-                nty, PR.TILE_H, ntx, PR.TILE_W).any(axis=(1, 3))
-            assigned[~covered] = ZERO_PASS
-        for wc in classes:
-            origins, fast = PR.classify_tiles(
-                stats, spl.coeff.shape[0], spl.coeff.shape[1],
-                spl.degree, wc)
-            take = fast & (assigned == -1)
-            if take.any():
-                assigned[take] = len(passes)
-                passes.append((name, wc, origins, take))
-            if (assigned != -1).all():
-                break
-        if (assigned != -1).all():
-            break
-
+    frame_fn, state, assigned, passes = fused_frame(
+        plan, src, window, classes, spread=spread)
     n_fast = int((assigned >= 0).sum())
     if verbose:
-        print(f"fastpath(twined): {n_fast}/{assigned.size} tiles fused,"
-              f" {len(spread)} taps")
+        mix = ", ".join(f"{n}/{wc.name}:{(assigned == pi).sum()}"
+                        for pi, (n, wc, _b, _t) in enumerate(passes))
+        print(f"fastpath(twined): {n_fast}/{assigned.size} tiles fused"
+              f" ({mix}), {len(spread)} taps")
     if n_fast == 0:
         return None
-
-    combined = None
-    sel_full = jnp.asarray(np.repeat(np.repeat(assigned, PR.TILE_H, 0),
-                                     PR.TILE_W, 1))
-    for pi, (name, wc, origins, take) in enumerate(passes):
-        spl = _variant_spline(src, name)
-        sx, sy, dux, duy, dvx, dvy, mask = data[name]
-        org3 = np.concatenate(
-            [origins, take.reshape(-1, 1).astype(np.int32)], axis=1)
-        coeffp = jnp.moveaxis(spl.coeff, -1, 0)
-        out_planar = PR.resample_twined(
-            coeffp, sx, sy, dux, duy, dvx, dvy, jnp.asarray(org3),
-            spread_flat, degree=spl.degree, n_taps=len(spread),
-            cmax_x=cmax_x, cmax_y=cmax_y, wc=wc)
-        img_v = _finish(out_planar, mask, plan.nchannels,
-                        src.static.brighten)
-        combined = img_v if combined is None else \
-            jnp.where((sel_full == pi)[..., None], img_v, combined)
-
-    if int((assigned == ZERO_PASS).sum()):
-        combined = jnp.where((sel_full == ZERO_PASS)[..., None], 0.0,
-                             combined)
+    combined = frame_fn(state, jnp.float32(0))
 
     bad = np.argwhere(assigned == -1)
     if bad.size:
         if verbose:
             print(f"fastpath(twined): {len(bad)} tiles via XLA fallback")
-        name0 = names[0]
-        spl0 = _variant_spline(src, name0)
-        sx, sy, dux, duy, dvx, dvy, mask = data[name0]
+        geom = _geom_static(plan)
+        basis = _basis_arg(plan, 0)
+        c0 = _coords(geom, window, "orig", src, 0, (0.0, 0.0), basis)
+        c10 = _coords(geom, window, "orig", src, 0,
+                      (ST.DERIV_BIAS, 0.0), basis)
+        c01 = _coords(geom, window, "orig", src, 0,
+                      (0.0, ST.DERIV_BIAS), basis)
+        sx, sy, mask = c0[0], c0[1], c0[2]
+        dux, dvx = _deriv(sx, c10[0], c01[0])
+        duy, dvy = _deriv(sy, c10[1], c01[1])
         for ti, tj in bad:
             oy, ox = int(ti) * PR.TILE_H, int(tj) * PR.TILE_W
             tile = _eval_tile_xla_twined(
-                spl0.coeff, sx, sy, dux, duy, dvx, dvy,
-                (jnp.int32(oy), jnp.int32(ox)), spl0.degree, spread)
+                src.spl.coeff, sx, sy, dux, duy, dvx, dvy,
+                (jnp.int32(oy), jnp.int32(ox)), src.spl.degree,
+                spread)
             m = jax.lax.dynamic_slice(mask, (oy, ox),
                                       (PR.TILE_H, PR.TILE_W))
             tile = _finish(jnp.moveaxis(tile, -1, 0), m,
@@ -614,10 +510,8 @@ def render_fast(plan, sources, render_window_fn=None,
                 verbose: bool = False,
                 classes=DEFAULT_CLASSES) -> Optional[np.ndarray]:
     """Render via the Pallas path; returns None if not eligible."""
-    if plan.spread is not None:
-        if len(sources) == 1:
-            return render_fast_twined(plan, sources, verbose, classes)
-        return None  # multi-facet twining: per-tap synopsis, XLA path
+    if plan.spread is not None and len(sources) == 1:
+        return render_fast_twined(plan, sources, verbose, classes)
     if len(sources) > 1:
         return render_fast_multi(plan, sources, verbose, classes)
     if not eligible(plan, sources):
@@ -673,7 +567,7 @@ def render_fast(plan, sources, render_window_fn=None,
 
 
 def _eligible_multi(plan, sources) -> bool:
-    if jax.default_backend() == "cpu" or plan.spread is not None:
+    if jax.default_backend() == "cpu":
         return False
     for src in sources:
         if src.static.kind == "paint" or src.static.masked != -1:
@@ -686,9 +580,14 @@ def _eligible_multi(plan, sources) -> bool:
 def render_fast_multi(plan, sources, verbose: bool = False,
                       classes=DEFAULT_CLASSES
                       ) -> Optional[np.ndarray]:
-    """Multi-facet render through the fused kernel: per-facet pixel
-    stacks from resample_variants, then the synopsis combine
-    (voronoi / voronoi+ / hdr_merge) on device."""
+    """Multi-facet render through the fused kernel: one fused frame
+    per facet (twining fused in when the plan has a spread), then the
+    synopsis combine (voronoi / voronoi+ / hdr_merge) on device. The
+    reference applies the synopsis per tap (each tap blends champion
+    facets); this composes taps per facet first - identical for the
+    voronoi family on the fused tiles since the champion is decided by
+    the center-tap scores either way, and the difference for HDR merge
+    is below the tap filter's own approximation."""
     from ..models import synopsis as SYN
 
     if not _eligible_multi(plan, sources):
@@ -702,20 +601,60 @@ def render_fast_multi(plan, sources, verbose: bool = False,
     pw = _round_up(out_w, PR.TILE_W)
     window = (y0, y0 + ph, x0, x0 + pw)
 
+    spread = None
+    if plan.spread is not None:
+        bias = 1.0 / ST.DERIV_BIAS
+        spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
+                       for (cx, cy, w) in plan.spread)
+
     geom = _geom_static(plan)
     px_list, mask_list, score_list = [], [], []
     for fi, src in enumerate(sources):
-        names = _variant_names(src)
-        variants = [(n, _variant_spline(src, n)) for n in names]
-        basis = _basis_arg(plan, fi)
-        coords = [_coords(geom, window, n, src, fi, (0.0, 0.0), basis)
-                  for n in names]
-        img_f = resample_variants(variants, coords, (ph, pw),
-                                  plan.nchannels, src.static.brighten,
-                                  classes, verbose, device=True)
-        if img_f is None:
+        frame_fn, state, assigned, passes = fused_frame(
+            plan, src, window, classes, fi=fi, spread=spread)
+        n_fast = int((assigned >= 0).sum())
+        n_zero = int((assigned == ZERO_PASS).sum())
+        if verbose:
+            print(f"fastpath(multi): facet {fi}: {n_fast}/"
+                  f"{assigned.size} tiles fused, {n_zero} empty")
+        if n_fast == 0 and n_zero < assigned.size:
             return None  # one facet entirely unfusable: use XLA path
-        _, _, mask, ray_z = coords[0]
+        basis = _basis_arg(plan, fi)
+        _sx0, _sy0, mask, ray_z = _coords(geom, window, "orig", src,
+                                          fi, (0.0, 0.0), basis)
+        if n_fast:
+            img_f = frame_fn(state, jnp.float32(0))
+        else:
+            img_f = jnp.zeros((ph, pw, plan.nchannels), jnp.float32)
+        bad = np.argwhere(assigned == -1)
+        if bad.size and verbose:
+            print(f"fastpath(multi): facet {fi}: {len(bad)} tiles via "
+                  f"XLA fallback")
+        if bad.size and spread is not None:
+            c10 = _coords(geom, window, "orig", src, fi,
+                          (ST.DERIV_BIAS, 0.0), basis)
+            c01 = _coords(geom, window, "orig", src, fi,
+                          (0.0, ST.DERIV_BIAS), basis)
+            dux, dvx = _deriv(_sx0, c10[0], c01[0])
+            duy, dvy = _deriv(_sy0, c10[1], c01[1])
+        for ti, tj in bad:
+            oy = jnp.int32(int(ti) * PR.TILE_H)
+            ox = jnp.int32(int(tj) * PR.TILE_W)
+            if spread is None:
+                img_f = _patch_tile(
+                    img_f, src.spl.coeff, _sx0, _sy0, mask, (oy, ox),
+                    src.spl.degree, plan.nchannels,
+                    src.static.brighten)
+            else:
+                tile = _eval_tile_xla_twined(
+                    src.spl.coeff, _sx0, _sy0, dux, duy, dvx, dvy,
+                    (oy, ox), src.spl.degree, spread)
+                m_t = jax.lax.dynamic_slice(mask, (oy, ox),
+                                            (PR.TILE_H, PR.TILE_W))
+                tile = _finish(jnp.moveaxis(tile, -1, 0), m_t,
+                               plan.nchannels, src.static.brighten)
+                img_f = jax.lax.dynamic_update_slice(
+                    img_f, tile, (oy, ox, 0))
         px_list.append(img_f)
         mask_list.append(mask)
         score_list.append(jnp.where(

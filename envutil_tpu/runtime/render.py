@@ -190,8 +190,10 @@ def build_plan(args, facets: Sequence[Facet]) -> RenderPlan:
         crop = (args.p_crop_y0, args.p_crop_y1,
                 args.p_crop_x0, args.p_crop_x1)
 
+    # twine == -1 with an empty spread means twine_setup was skipped
+    # (API misuse): render untwined rather than summing zero taps
     spread = tuple(tuple(t) for t in args.twine_spread) \
-        if args.twine != 0 else None
+        if (args.twine != 0 and args.twine_spread) else None
 
     return RenderPlan(
         projection=args.projection, width=args.width, height=args.height,
