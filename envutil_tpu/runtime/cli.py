@@ -5,7 +5,9 @@ Job modes match the reference (envutil_main.cc:1634-1983):
   * --split: loop of --single jobs re-creating each facet
   * streaming mode: trailing '-' reads argument lines from stdin and
     re-runs the core with assets persisting across jobs
-  * tethered serve mode: trailing '+' (see runtime/serve.py)
+  * tethered serve mode: trailing '+' (socket transport,
+    runtime/serve.py) or '++' (shared-memory frame buffers with the
+    visor pipeline semantics, runtime/visor.py)
 """
 
 from __future__ import annotations
@@ -33,10 +35,49 @@ from .render import RenderPlan, build_plan, render_frame
 rt_cumulated = 0.0
 
 
+def cp_statistics(args, sources) -> None:
+    """Control-point intensity check: sample a 4x4 window around each
+    control point in both facets, pool the intensity sums per facet
+    pair, echo the matrix and the pairwise brightness ratios. This is
+    a working version of the reference's experimental CP-statistics
+    block (envutil_payload.cc:1950-2026, disabled there), generalized
+    to any facet count; it's what -v exposes when a PTO has c-lines."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops import spline as S
+
+    nf = len(sources)
+    s = np.zeros((nf, nf), np.float64)
+    offs = np.arange(4, dtype=np.float32) - 1.5
+    dx, dy = np.meshgrid(offs, offs)
+    for cp in args.cp_list:
+        if cp.t != 0:      # only 'normal' points carry intensity info
+            continue
+        for fi, x, y, fj in ((cp.n, cp.x, cp.y, cp.N),
+                             (cp.N, cp.X, cp.Y, cp.n)):
+            if not (0 <= fi < nf) or sources[fi].spl is None:
+                continue
+            px = S.eval_spline(sources[fi].spl,
+                               jnp.asarray(x + dx), jnp.asarray(y + dy))
+            nch = px.shape[-1]
+            colour = px[..., :nch - 1] if nch in (2, 4) else px
+            s[fi][fj] += float(jnp.sum(colour))
+    print("CP intensity check:")
+    for j in range(nf):
+        print(" ".join(f"{s[i][j]:.6g}" for i in range(nf)))
+    for i in range(nf):
+        for j in range(i):
+            if s[j][i] != 0.0:
+                print(f"{i}:{j} {s[i][j] / s[j][i]:.6g}")
+
+
 def _run_job(args) -> None:
     """One rendition: load facets, build plan, render, save."""
     global rt_cumulated
     sources = [loader.load_source(f, args) for f in args.facets]
+    if args.verbose and args.cp_list:
+        cp_statistics(args, sources)
     plan = build_plan(args, args.facets)
     active = [sources[i] for i in plan.facet_indices]
 
@@ -110,6 +151,10 @@ def core(argv: List[str], tethered: bool = False) -> int:
 
 def main(argv: List[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[-1] == "++":
+        from .visor import render_loop as visor_loop
+        visor_loop(verbose="-v" in argv or "--verbose" in argv)
+        return 0
     if argv and argv[-1] == "+":
         from .serve import render_loop
         render_loop()

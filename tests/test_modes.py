@@ -147,3 +147,32 @@ def test_streaming_asset_reuse(tmp_path, capsys):
     core(base + ["--output", str(tmp_path / "b.exr"), "--yaw", "10"])
     out2 = capsys.readouterr().out
     assert "already present in RAM" in out2
+
+
+def test_cp_statistics_brightness_ratio(tmp_path, capsys):
+    """-v with PTO c-lines prints the CP intensity matrix; for a x2
+    exposure pair the pooled ratio must come out ~2 (the reference's
+    experimental CP block, envutil_payload.cc:1950-2026)."""
+    base = np.full((64, 64, 3), 0.25, np.float32)
+    base += 0.1 * np.random.default_rng(0).random((64, 64, 3),
+                                                  np.float32)
+    imgio.save_image(str(tmp_path / "a.exr"), base,
+                     projection_name="rectilinear", hfov_deg=60)
+    imgio.save_image(str(tmp_path / "b.exr"), 2.0 * base,
+                     projection_name="rectilinear", hfov_deg=60)
+    ptof = tmp_path / "cp.pto"
+    ptof.write_text(textwrap.dedent(f"""\
+        p f0 w64 h64 v60
+        i w64 h64 f0 v60 y0 p0 r0 n"{tmp_path}/a.exr"
+        i w64 h64 f0 v60 y0 p0 r0 n"{tmp_path}/b.exr"
+        c n0 N1 x20.0 y30.0 X20.0 Y30.0 t0
+        c n0 N1 x40.5 y12.25 X40.5 Y12.25 t0
+        """))
+    core(["--pto", str(ptof), "--output", str(tmp_path / "out.exr"),
+          "--twine", "0", "--synopsis", "hdr_merge", "-v"])
+    out = capsys.readouterr().out
+    assert "CP intensity check:" in out
+    ratio_line = [l for l in out.splitlines() if l.startswith("1:0 ")]
+    assert ratio_line, out
+    ratio = float(ratio_line[0].split()[1])
+    assert abs(ratio - 2.0) < 0.05, ratio
