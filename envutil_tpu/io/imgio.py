@@ -99,16 +99,23 @@ def convert_colour(arr: np.ndarray, src: str, dst: str,
     elif src in LINEAR_NAMES and dst in SRGB_NAMES:
         out = linear_to_srgb(colour)
     else:
-        try:
-            import PyOpenColorIO as ocio  # noqa: F401
-        except ImportError:
-            raise ValueError(
-                f"colour conversion {src!r} -> {dst!r} needs an OCIO "
-                "config (PyOpenColorIO not available)") from None
-        config = ocio.GetCurrentConfig()
-        proc = config.getProcessor(src, dst).getDefaultCPUProcessor()
-        out = np.ascontiguousarray(colour, np.float32)
-        proc.applyRGB(out)
+        from . import colour as C
+        if C.known(src) and C.known(dst) and colour.shape[-1] == 3:
+            # built-in spaces (primaries + transfer, io/colour.py)
+            out = C.convert(colour, src, dst)
+        else:
+            # anything else needs a full OCIO config
+            try:
+                import PyOpenColorIO as ocio  # noqa: F401
+            except ImportError:
+                raise ValueError(
+                    f"colour conversion {src!r} -> {dst!r} is not "
+                    "built in and needs an OCIO config "
+                    "(PyOpenColorIO not available)") from None
+            config = ocio.GetCurrentConfig()
+            proc = config.getProcessor(src, dst).getDefaultCPUProcessor()
+            out = np.ascontiguousarray(colour, np.float32)
+            proc.applyRGB(out)
     if has_alpha:
         out = np.concatenate([out, arr[..., -1:]], axis=-1)
     return out

@@ -117,7 +117,18 @@ def planar_grid(width: int, height: int, extent, bias=(0.0, 0.0),
                 dtype=np.float32, window=None):
     """SoA planar coordinate grid (px, py), each (H, W) (or the window's
     shape if ``window=(y0, y1, x0, x1)`` in discrete pixels is given -
-    the analogue of the reference's bill limits/offsets)."""
+    the analogue of the reference's bill limits/offsets).
+
+    ``bias`` entries may be traced scalars: the grid is then built at
+    zero bias (host float64) and the bias offsets are added on-trace -
+    one compiled program serves every sub-pixel tap position."""
+    if not all(isinstance(b, (int, float)) for b in bias):
+        px, py = planar_grid(width, height, extent, (0.0, 0.0), dtype,
+                             window)
+        step_x = (extent.x1 - extent.x0) / width
+        step_y = (extent.y1 - extent.y0) / height
+        return (px + bias[0] * dtype(step_x),
+                py + bias[1] * dtype(step_y))
     if window is not None:
         y0, y1, x0, x1 = window
         xs = planar_axis(width, extent.x0, extent.x1, bias[0], dtype,

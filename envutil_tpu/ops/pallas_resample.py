@@ -45,6 +45,14 @@ from . import basis as _basis
 TILE_H = 128
 TILE_W = 128
 
+# compact-grid tile rows: (in_by, in_bx, out_by, out_bx, oy, ox) plus,
+# in the extended form, per-row-block candidate origins (rb0, cb0) x
+# NRB precomputed by the pass planner (kills the in-kernel scalar
+# reductions on the gather-address critical path)
+NRB = TILE_H // 8
+TILE_ROW_INTS = 6
+TILE_ROW_INTS_EXT = TILE_ROW_INTS + 2 * NRB
+
 
 @dataclasses.dataclass(frozen=True)
 class WindowClass:
@@ -113,20 +121,28 @@ def _split(c, degree):
 
 
 def _eval_row_block(sx, sy, win_ref, *, degree: int, wc: WindowClass,
-                    nch: int):
+                    nch: int, rb0=None, cb0=None):
     """Evaluate the exact tensor-product spline for one (8, TILE_W)
     vreg row-block. ``sx``/``sy`` are window-relative continuous
     coordinates; ``win_ref`` is the (nch, win_h, win_w) VMEM window.
-    Returns the per-channel list of (8, TILE_W) value vregs."""
+    Returns the per-channel list of (8, TILE_W) value vregs.
+
+    ``rb0``/``cb0`` are the candidate-block origins. When None they
+    are derived in-kernel by cross-lane min reductions - a full
+    vreg-to-scalar reduce whose result feeds every gather address, a
+    long serial dependency worth ~half the row-block's cycles. The
+    production path precomputes them host-side from the classifier's
+    per-vreg tile statistics and ships them through scalar prefetch."""
     n1 = degree + 1
     off = degree // 2
 
     # vertical: per-element base + exact split weights
     sely, ty = _split(sy, degree)
     by = sely - off
-    rb_min = jnp.min(by)
-    rb0 = jnp.clip((rb_min // 8) * 8, 0, wc.win_h - 8 * wc.cand_r)
-    rb0 = pl.multiple_of(rb0, 8)
+    if rb0 is None:
+        rb_min = jnp.min(by)
+        rb0 = jnp.clip((rb_min // 8) * 8, 0, wc.win_h - 8 * wc.cand_r)
+        rb0 = pl.multiple_of(rb0, 8)
     ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
     wy = _weights_poly(ty, degree)
 
@@ -135,10 +151,11 @@ def _eval_row_block(sx, sy, win_ref, *, degree: int, wc: WindowClass,
     bx = selx - off
     bxc = jnp.broadcast_to(jnp.min(bx, axis=0, keepdims=True),
                            (8, TILE_W))
-    cb_min = jnp.min(bxc)
-    cb0 = jnp.clip((cb_min // 128) * 128, 0,
-                   wc.win_w - 128 * wc.cand_c)
-    cb0 = pl.multiple_of(cb0, 128)
+    if cb0 is None:
+        cb_min = jnp.min(bxc)
+        cb0 = jnp.clip((cb_min // 128) * 128, 0,
+                       wc.win_w - 128 * wc.cand_c)
+        cb0 = pl.multiple_of(cb0, 128)
     lxc = jnp.clip(bxc - cb0, 0, 128 * wc.cand_c - 1)
 
     # per-(kappa) horizontal weights: tap bxc+kappa serves pixel
@@ -300,83 +317,140 @@ def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     )(origins, sx, sy, coeff)
 
 
+def _dbuf_ok(wc: WindowClass, nch: int) -> bool:
+    """Whether two window buffers (cross-grid-step DMA double
+    buffering) fit the ~16MB VMEM next to the revolving in/out
+    blocks."""
+    return 2 * nch * wc.win_h * wc.win_w * 4 <= 11 * 2 ** 20
+
+
 def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
                           sx_ref, sy_ref,     # (TILE_H, TILE_W) VMEM
                           coeff_ref,          # (C, Hp, Wp) HBM/ANY
                           canvas_ref,         # aliased output (unread)
                           out_ref,            # (C, TILE_H, TILE_W) VMEM
                           win_ref, sem,
-                          *, degree: int, wc: WindowClass, nch: int):
+                          *, degree: int, wc: WindowClass, nch: int,
+                          nt: int, dbuf: bool, unroll: int,
+                          stride: int):
     t = pl.program_id(0)
-    oy = pl.multiple_of(tiles_ref[t * 6 + 4], 8)
-    ox = pl.multiple_of(tiles_ref[t * 6 + 5], 128)
-    copy = pltpu.make_async_copy(
-        coeff_ref.at[:, pl.ds(oy, wc.win_h), pl.ds(ox, wc.win_w)],
-        win_ref, sem)
-    copy.start()
-    copy.wait()
-    oyf = oy.astype(jnp.float32)
-    oxf = ox.astype(jnp.float32)
+    ext = stride >= TILE_ROW_INTS_EXT
+
+    if dbuf:
+        # two window slots: tile t+1's window DMA runs while tile t
+        # computes (grid steps are sequential on a core, so scratch
+        # and semaphores persist across steps)
+        def get_dma(slot, ti):
+            oy_i = pl.multiple_of(tiles_ref[ti * stride + 4], 8)
+            ox_i = pl.multiple_of(tiles_ref[ti * stride + 5], 128)
+            return pltpu.make_async_copy(
+                coeff_ref.at[:, pl.ds(oy_i, wc.win_h),
+                             pl.ds(ox_i, wc.win_w)],
+                win_ref.at[slot], sem.at[slot])
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _warm():
+            get_dma(0, 0).start()
+
+        @pl.when(t + 1 < nt)
+        def _prefetch():
+            get_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+        get_dma(slot, t).wait()
+        win = win_ref.at[slot]
+    else:
+        oy0 = pl.multiple_of(tiles_ref[t * stride + 4], 8)
+        ox0 = pl.multiple_of(tiles_ref[t * stride + 5], 128)
+        copy = pltpu.make_async_copy(
+            coeff_ref.at[:, pl.ds(oy0, wc.win_h), pl.ds(ox0, wc.win_w)],
+            win_ref, sem)
+        copy.start()
+        copy.wait()
+        win = win_ref
+
+    oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
+    oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
 
     def row_body(r, _):
         sx = sx_ref[pl.ds(r * 8, 8), :] - oxf
         sy = sy_ref[pl.ds(r * 8, 8), :] - oyf
-        accs = _eval_row_block(sx, sy, win_ref, degree=degree, wc=wc,
-                               nch=nch)
+        rb0 = cb0 = None
+        if ext:
+            rb0 = pl.multiple_of(
+                tiles_ref[t * stride + TILE_ROW_INTS + 2 * r], 8)
+            cb0 = pl.multiple_of(
+                tiles_ref[t * stride + TILE_ROW_INTS + 2 * r + 1], 128)
+        accs = _eval_row_block(sx, sy, win, degree=degree, wc=wc,
+                               nch=nch, rb0=rb0, cb0=cb0)
         for ch in range(nch):
             out_ref[ch, pl.ds(r * 8, 8), :] = accs[ch]
         return _
 
-    jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
+    # Mosaic lowers fori_loop with unroll=1 or full unroll only
+    jax.lax.fori_loop(0, TILE_H // 8, row_body, 0,
+                      unroll=(TILE_H // 8) if unroll else 1)
 
 
 @functools.partial(jax.jit, static_argnames=("degree", "wc",
-                                             "interpret"))
+                                             "interpret", "unroll"))
 def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                          sx: jnp.ndarray, sy: jnp.ndarray,
                          tiles: jnp.ndarray, *, degree: int,
                          wc: WindowClass = LOCAL,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         unroll: bool = False) -> jnp.ndarray:
     """Compact-grid variant of resample_planar: one grid step per
     listed tile (no inactive steps, no per-tile traffic for tiles the
     pass does not own), writing straight into ``canvas`` (donated and
     returned - tiles not listed keep their previous contents).
-    ``tiles`` is int32 (nt, 6): (in_by, in_bx, out_by, out_bx, oy, ox)
-    with in_* the (TILE_H, TILE_W) block indices into sx/sy (which may
-    be a crop), out_* the block indices into canvas, and (oy, ox) the
-    aligned source-window origin (oy % 8 == 0, ox % 128 == 0)."""
+    ``tiles`` is int32 (nt, 6) or (nt, TILE_ROW_INTS_EXT): (in_by,
+    in_bx, out_by, out_bx, oy, ox) with in_* the (TILE_H, TILE_W)
+    block indices into sx/sy (which may be a crop), out_* the block
+    indices into canvas, and (oy, ox) the aligned source-window origin
+    (oy % 8 == 0, ox % 128 == 0). The extended form appends NRB
+    (rb0, cb0) per-row-block candidate origins (window-relative,
+    8/128-aligned, from the classifier stats - see
+    row_block_origins)."""
     nch, hp, wp = coeff.shape
     ha, wa = aligned_dims(hp, wp, wc)
     if (ha, wa) != (hp, wp):
         coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
                         mode="edge")
         nch, hp, wp = coeff.shape
-    nt = tiles.shape[0]
+    nt, stride = tiles.shape
+    dbuf = _dbuf_ok(wc, nch) and not interpret
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((TILE_H, TILE_W),
-                         lambda t, o: (o[t * 6], o[t * 6 + 1]),
+                         lambda t, o: (o[t * stride],
+                                       o[t * stride + 1]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W),
-                         lambda t, o: (o[t * 6], o[t * 6 + 1]),
+                         lambda t, o: (o[t * stride],
+                                       o[t * stride + 1]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
             (nch, TILE_H, TILE_W),
-            lambda t, o: (0, o[t * 6 + 2], o[t * 6 + 3]),
+            lambda t, o: (0, o[t * stride + 2], o[t * stride + 3]),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nch, wc.win_h, wc.win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM(((2,) if dbuf else ()) +
+                       (nch, wc.win_h, wc.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)) if dbuf
+            else pltpu.SemaphoreType.DMA,
         ],
     )
     kern = functools.partial(_resample_kernel_into, degree=degree,
-                             wc=wc, nch=nch)
+                             wc=wc, nch=nch, nt=nt, dbuf=dbuf,
+                             unroll=unroll, stride=stride)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
@@ -398,22 +472,50 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                         dux_ref, duy_ref, dvx_ref, dvy_ref,
                         coeff_ref, canvas_ref, out_ref, win_ref, sem,
                         *, degree: int, wc: WindowClass, nch: int,
-                        n_taps: int):
+                        n_taps: int, nt: int, dbuf: bool,
+                        stride: int):
     """Compact-grid twined kernel: one grid step per listed tile,
-    writing into the donated canvas. Each tap evaluates through
-    _eval_row_block with its own candidate bases - the classifier's
-    margin budgets (tile_stats_range) guarantee every tap footprint
-    fits, so per-tap bases are valid and tighter than shared ones."""
+    writing into the donated canvas. Taps evaluate through
+    _eval_row_block; the classifier's margin budgets
+    (tile_stats_range) guarantee every tap footprint fits, so the
+    planner's precomputed per-row-block origins (extended tile rows)
+    are shared by all taps."""
     t = pl.program_id(0)
-    oy = pl.multiple_of(tiles_ref[t * 6 + 4], 8)
-    ox = pl.multiple_of(tiles_ref[t * 6 + 5], 128)
-    copy = pltpu.make_async_copy(
-        coeff_ref.at[:, pl.ds(oy, wc.win_h), pl.ds(ox, wc.win_w)],
-        win_ref, sem)
-    copy.start()
-    copy.wait()
-    oyf = oy.astype(jnp.float32)
-    oxf = ox.astype(jnp.float32)
+    ext = stride >= TILE_ROW_INTS_EXT
+
+    if dbuf:
+        def get_dma(slot, ti):
+            oy_i = pl.multiple_of(tiles_ref[ti * stride + 4], 8)
+            ox_i = pl.multiple_of(tiles_ref[ti * stride + 5], 128)
+            return pltpu.make_async_copy(
+                coeff_ref.at[:, pl.ds(oy_i, wc.win_h),
+                             pl.ds(ox_i, wc.win_w)],
+                win_ref.at[slot], sem.at[slot])
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _warm():
+            get_dma(0, 0).start()
+
+        @pl.when(t + 1 < nt)
+        def _prefetch():
+            get_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+        get_dma(slot, t).wait()
+        win = win_ref.at[slot]
+    else:
+        oy0 = pl.multiple_of(tiles_ref[t * stride + 4], 8)
+        ox0 = pl.multiple_of(tiles_ref[t * stride + 5], 128)
+        copy = pltpu.make_async_copy(
+            coeff_ref.at[:, pl.ds(oy0, wc.win_h), pl.ds(ox0, wc.win_w)],
+            win_ref, sem)
+        copy.start()
+        copy.wait()
+        win = win_ref
+
+    oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
+    oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
 
     def row_body(r, _):
         sl = (pl.ds(r * 8, 8), slice(None))
@@ -423,6 +525,12 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
         duy = duy_ref[sl]
         dvx = dvx_ref[sl]
         dvy = dvy_ref[sl]
+        rb0 = cb0 = None
+        if ext:
+            rb0 = pl.multiple_of(
+                tiles_ref[t * stride + TILE_ROW_INTS + 2 * r], 8)
+            cb0 = pl.multiple_of(
+                tiles_ref[t * stride + TILE_ROW_INTS + 2 * r + 1], 128)
 
         def tap_body(ti, acc):
             cx_t = spread_ref[ti * 3]
@@ -430,8 +538,8 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
             w_t = spread_ref[ti * 3 + 2]
             sxt = sx + cx_t * dux + cy_t * dvx
             syt = sy + cx_t * duy + cy_t * dvy
-            vals = _eval_row_block(sxt, syt, win_ref, degree=degree,
-                                   wc=wc, nch=nch)
+            vals = _eval_row_block(sxt, syt, win, degree=degree,
+                                   wc=wc, nch=nch, rb0=rb0, cb0=cb0)
             return tuple(a + w_t * v for a, v in zip(acc, vals))
 
         acc0 = tuple(jnp.zeros((8, TILE_W), jnp.float32)
@@ -458,9 +566,10 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
         coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
                         mode="edge")
         nch, hp, wp = coeff.shape
-    nt = tiles.shape[0]
+    nt, stride = tiles.shape
+    dbuf = _dbuf_ok(wc, nch) and not interpret
 
-    cmap = lambda t, o, s: (o[t * 6], o[t * 6 + 1])
+    cmap = lambda t, o, s: (o[t * stride], o[t * stride + 1])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
@@ -470,15 +579,19 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
            pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (nch, TILE_H, TILE_W),
-            lambda t, o, s: (0, o[t * 6 + 2], o[t * 6 + 3]),
+            lambda t, o, s: (0, o[t * stride + 2],
+                             o[t * stride + 3]),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nch, wc.win_h, wc.win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM(((2,) if dbuf else ()) +
+                       (nch, wc.win_h, wc.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)) if dbuf
+            else pltpu.SemaphoreType.DMA,
         ],
     )
     kern = functools.partial(_twined_kernel_into, degree=degree,
-                             wc=wc, nch=nch, n_taps=n_taps)
+                             wc=wc, nch=nch, n_taps=n_taps, nt=nt,
+                             dbuf=dbuf, stride=stride)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
@@ -752,3 +865,34 @@ def classify_tiles(stats, hp: int, wp: int, degree: int,
     fast = fits & t_vreg_ok
     origins = np.stack([oy, ox], axis=-1).reshape(-1, 2).astype(np.int32)
     return origins, fast
+
+
+def row_block_origins(stats, tiles: np.ndarray, degree: int,
+                      wc: WindowClass) -> np.ndarray:
+    """Precompute, for each compact tile row (in_by, in_bx, _, _, oy,
+    ox), the NRB window-relative per-row-block candidate origins
+    (rb0, cb0) the kernel would otherwise derive with cross-lane min
+    reductions (see _eval_row_block). Uses the same per-vreg statistics
+    the classifier ran on - identical float32 values, so the results
+    are bit-equal to the in-kernel reductions. Returns int32
+    (nt, 2 * NRB) to append to the tile rows."""
+    min_y, _may, min_x, _max, _d = [np.asarray(s) for s in stats]
+    off = degree // 2
+    # integer tap bases per vreg: floor for odd degrees, round for even
+    # (matching _split); floor is monotone so the vreg min commutes
+    half = 0.0 if degree % 2 else 0.5
+    by = np.floor(min_y + half).astype(np.int64) - off
+    bx = np.floor(min_x + half).astype(np.int64) - off
+
+    nt = tiles.shape[0]
+    out = np.empty((nt, 2 * NRB), np.int32)
+    vr = tiles[:, 0:1] * NRB + np.arange(NRB)[None, :]   # (nt, NRB)
+    vc = tiles[:, 1:2]                                   # (nt, 1)
+    rb_rel = by[vr, vc] - tiles[:, 4:5]
+    cb_rel = bx[vr, vc] - tiles[:, 5:6]
+    rb0 = np.clip((rb_rel // 8) * 8, 0, wc.win_h - 8 * wc.cand_r)
+    cb0 = np.clip((cb_rel // 128) * 128, 0,
+                  wc.win_w - 128 * wc.cand_c)
+    out[:, 0::2] = rb0
+    out[:, 1::2] = cb0
+    return out

@@ -69,6 +69,7 @@ class Args(Facet):
     twine_normalize: bool = False
     twine_precise: bool = False
     precise: bool = False
+    coeff_cache: str = ""
     twine_width: float = 1.0
     twine_density: float = 1.0
     twine_sigma: float = 0.0
@@ -189,6 +190,9 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--twine_precise", action="store_true")
     ap.add_argument("--precise", action="store_true",
                     help="disable approximate accelerations (pole-patch source copies)")
+    ap.add_argument("--coeff_cache", default="", metavar="DIR",
+                    help="persist prefiltered coefficients on disk "
+                    "(restart resume; also ENVUTIL_COEFF_CACHE)")
     ap.add_argument("--twine_width", type=float, default=1.0)
     ap.add_argument("--twine_density", type=float, default=1.0)
     ap.add_argument("--twine_sigma", type=float, default=0.0)
@@ -416,6 +420,7 @@ def parse_args(argv: List[str]) -> Args:
     args.twine_normalize = ns.twine_normalize
     args.twine_precise = ns.twine_precise
     args.precise = ns.precise
+    args.coeff_cache = ns.coeff_cache
     args.twine_width = ns.twine_width
     args.twine_density = ns.twine_density
     args.twine_sigma = ns.twine_sigma

@@ -156,6 +156,26 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
     return sx, sy, mask, ray_z
 
 
+@functools.partial(jax.jit, static_argnames=("plan", "window", "fi"))
+def _tap_mask_score(plan, window, src, fi, bias, basis):
+    """Validity mask + voronoi score (ray z * recip_step) at a *traced*
+    sub-pixel bias of the target grid - the per-tap deflected-ray mask
+    the reference's synopsis_t sees (envutil_payload.cc:611-691). One
+    compiled program serves every tap position."""
+    ray = ST.target_rays(plan.projection, plan.width, plan.height,
+                         plan.extent, basis=None, normalize=False,
+                         bias=(bias[0], bias[1]),
+                         planar_to_ray=plan.planar_to_ray[fi],
+                         window=window)
+    if basis is not None:
+        ray = geo.apply_matrix(basis, *ray)
+    ray = geo.normalize(*ray)
+    mask = E.get_mask(src, ray)
+    score = jnp.where(mask, ray[2] * src.static.recip_step,
+                      float(np.finfo(np.float32).min))
+    return mask, score
+
+
 @functools.partial(jax.jit, static_argnames=("nch_out", "brighten"))
 def _finish(px_planar, mask, nch_out, brighten):
     px = jnp.moveaxis(px_planar, 0, -1)
@@ -295,6 +315,10 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
             tiles = np.column_stack(
                 [iby, ibx, iby + bty0, ibx + btx0,
                  org[:, 0], org[:, 1]]).astype(np.int32)
+            # extended rows: per-row-block candidate origins, so the
+            # kernel skips its serializing cross-lane reductions
+            ext = PR.row_block_origins(stats, tiles, spl.degree, wc)
+            tiles = np.concatenate([tiles, ext], axis=1)
             passes.append((name, wc, box, tiles))
     return passes, assigned
 
@@ -308,7 +332,7 @@ _FRAME_CACHE = {}
 
 def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                 fi: int = 0, nch_out=None, brighten=None,
-                spread=None):
+                spread=None, pertap: bool = False):
     """Build the one-jit fused frame for a solo render: per-pass
     coordinates restricted to the pass's tile bounding box, compact
     per-tile kernel grids writing into one donated canvas, and a
@@ -316,6 +340,13 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
     at the end - the whole frame is one XLA program so the elementwise
     stages fuse. ``spread`` (bias-folded (cx, cy, w) taps) fuses the
     twining filter into the kernel passes.
+
+    ``pertap``: classify tiles for the *full* spread footprint but
+    compile a single-tap frame whose tap coefficients come from the
+    traced ``state['spread']`` (3 floats) and whose mask is NOT
+    applied - the caller runs it once per tap and applies the per-tap
+    deflected mask in the synopsis combine (the reference's per-tap
+    champion semantics, envutil_payload.cc:611-691).
 
     Returns ``(frame_fn, state, assigned, passes)``; ``frame_fn(state,
     eps)`` is compiled (cached on the pass structure) and returns the
@@ -336,7 +367,10 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
 
     state = {"src": src, "basis": _basis_arg(plan, fi),
              "coeffs": {}, "tiles": []}
-    if spread is not None:
+    if pertap:
+        state["spread"] = jnp.asarray(
+            [spread[0][0], spread[0][1], 1.0], jnp.float32)
+    elif spread is not None:
         state["spread"] = jnp.asarray(
             np.asarray(spread, np.float32).reshape(-1))
     for name, wc, box, tiles in passes:
@@ -352,12 +386,12 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                    for name, wc, box, tiles in passes)
     key = (geom, window, tuple(classes), fi, nch_out, float(brighten),
            nch_in, struct,
-           tuple(spread) if spread is not None else None)
+           tuple(spread) if spread is not None else None, pertap)
     cached = _FRAME_CACHE.get(key)
     if cached is not None:
         return cached, state, assigned, passes
 
-    n_taps = len(spread) if spread is not None else 0
+    n_taps = 0 if spread is None else (1 if pertap else len(spread))
 
     def frame(st, eps):
         canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
@@ -386,11 +420,14 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                     dux, duy, dvx, dvy, st["tiles"][pi],
                     st["spread"], degree=degree, n_taps=n_taps,
                     wc=wc)
-        if mask0 is None:  # rare: first pass did not span the window
-            _sx, _sy, mask0, _z2 = _coords(geom, window, "orig",
-                                           st["src"], fi, (0.0, 0.0),
-                                           st["basis"])
-        px = jnp.where(mask0[None], canvas, 0.0)
+        if pertap:
+            px = canvas  # the caller masks with the per-tap mask
+        else:
+            if mask0 is None:  # rare: first pass didn't span the window
+                _sx, _sy, mask0, _z2 = _coords(geom, window, "orig",
+                                               st["src"], fi,
+                                               (0.0, 0.0), st["basis"])
+            px = jnp.where(mask0[None], canvas, 0.0)
         img = jnp.moveaxis(px, 0, -1)
         img = E.repix(img, nch_out)
         if brighten != 1.0:
@@ -577,19 +614,30 @@ def _eligible_multi(plan, sources) -> bool:
     return True
 
 
+def _combine_stack(plan, sources, px_list, mask_list, score_list):
+    from ..models import synopsis as SYN
+
+    if plan.synopsis == "hdr_merge":
+        return SYN.hdr_merge_stack(px_list, [s.static.brighten
+                                             for s in sources],
+                                   plan.nchannels)
+    px = jnp.stack(px_list)
+    mask = jnp.stack(mask_list)
+    score = jnp.stack(score_list)
+    if plan.nchannels in (1, 3):
+        return SYN.voronoi_stack(px, mask, score)
+    return SYN.voronoi_plus_stack(px, mask, score)
+
+
 def render_fast_multi(plan, sources, verbose: bool = False,
                       classes=DEFAULT_CLASSES
                       ) -> Optional[np.ndarray]:
     """Multi-facet render through the fused kernel: one fused frame
-    per facet (twining fused in when the plan has a spread), then the
-    synopsis combine (voronoi / voronoi+ / hdr_merge) on device. The
-    reference applies the synopsis per tap (each tap blends champion
-    facets); this composes taps per facet first - identical for the
-    voronoi family on the fused tiles since the champion is decided by
-    the center-tap scores either way, and the difference for HDR merge
-    is below the tap filter's own approximation."""
-    from ..models import synopsis as SYN
-
+    per facet, then the synopsis combine (voronoi / voronoi+ /
+    hdr_merge) on device. With twining this runs per tap, like the
+    reference's synopsis_t (each tap blends champion facets with the
+    tap's own deflected validity masks - that is what feathers facet
+    seams, envutil_payload.cc:611-691)."""
     if not _eligible_multi(plan, sources):
         return None
     if plan.crop is not None:
@@ -601,17 +649,16 @@ def render_fast_multi(plan, sources, verbose: bool = False,
     pw = _round_up(out_w, PR.TILE_W)
     window = (y0, y0 + ph, x0, x0 + pw)
 
-    spread = None
     if plan.spread is not None:
-        bias = 1.0 / ST.DERIV_BIAS
-        spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
-                       for (cx, cy, w) in plan.spread)
+        return _render_fast_multi_pertap(plan, sources, window,
+                                         out_h, out_w, verbose,
+                                         classes)
 
     geom = _geom_static(plan)
     px_list, mask_list, score_list = [], [], []
     for fi, src in enumerate(sources):
         frame_fn, state, assigned, passes = fused_frame(
-            plan, src, window, classes, fi=fi, spread=spread)
+            plan, src, window, classes, fi=fi)
         n_fast = int((assigned >= 0).sum())
         n_zero = int((assigned == ZERO_PASS).sum())
         if verbose:
@@ -630,47 +677,114 @@ def render_fast_multi(plan, sources, verbose: bool = False,
         if bad.size and verbose:
             print(f"fastpath(multi): facet {fi}: {len(bad)} tiles via "
                   f"XLA fallback")
-        if bad.size and spread is not None:
-            c10 = _coords(geom, window, "orig", src, fi,
-                          (ST.DERIV_BIAS, 0.0), basis)
-            c01 = _coords(geom, window, "orig", src, fi,
-                          (0.0, ST.DERIV_BIAS), basis)
-            dux, dvx = _deriv(_sx0, c10[0], c01[0])
-            duy, dvy = _deriv(_sy0, c10[1], c01[1])
         for ti, tj in bad:
             oy = jnp.int32(int(ti) * PR.TILE_H)
             ox = jnp.int32(int(tj) * PR.TILE_W)
-            if spread is None:
-                img_f = _patch_tile(
-                    img_f, src.spl.coeff, _sx0, _sy0, mask, (oy, ox),
-                    src.spl.degree, plan.nchannels,
-                    src.static.brighten)
-            else:
-                tile = _eval_tile_xla_twined(
-                    src.spl.coeff, _sx0, _sy0, dux, duy, dvx, dvy,
-                    (oy, ox), src.spl.degree, spread)
-                m_t = jax.lax.dynamic_slice(mask, (oy, ox),
-                                            (PR.TILE_H, PR.TILE_W))
-                tile = _finish(jnp.moveaxis(tile, -1, 0), m_t,
-                               plan.nchannels, src.static.brighten)
-                img_f = jax.lax.dynamic_update_slice(
-                    img_f, tile, (oy, ox, 0))
+            img_f = _patch_tile(
+                img_f, src.spl.coeff, _sx0, _sy0, mask, (oy, ox),
+                src.spl.degree, plan.nchannels, src.static.brighten)
         px_list.append(img_f)
         mask_list.append(mask)
         score_list.append(jnp.where(
             mask, ray_z * src.static.recip_step,
             float(np.finfo(np.float32).min)))
 
-    px = jnp.stack(px_list)
-    mask = jnp.stack(mask_list)
-    score = jnp.stack(score_list)
-    if plan.synopsis == "hdr_merge":
-        out = SYN.hdr_merge_stack(list(px), [s.static.brighten
-                                             for s in sources],
-                                  plan.nchannels)
-    elif plan.nchannels in (1, 3):
-        out = SYN.voronoi_stack(px, mask, score)
-    else:
-        out = SYN.voronoi_plus_stack(px, mask, score)
+    out = _combine_stack(plan, sources, px_list, mask_list, score_list)
     img = np.array(jax.device_get(out), np.float32)
+    return img[:out_h, :out_w]
+
+
+def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
+                              verbose: bool, classes
+                              ) -> Optional[np.ndarray]:
+    """Twined multi-facet fused render with exact per-tap synopsis
+    semantics: for every twining tap, each facet renders one
+    deflected single-tap frame through the kernel (classified once
+    against the full tap footprint, so the compiled program is shared
+    by all taps - the tap coefficients are traced), masks and scores
+    come from the tap-deflected rays (_tap_mask_score), the synopsis
+    combines the facets, and the weighted taps accumulate. This is
+    the reference's synopsis_t wrapper (envutil_payload.cc:587-691)
+    at kernel granularity; the per-tap masks are what blend facet
+    seams under the twining filter. The tap score uses the deflected
+    ray's z (exact); the per-tap kernel work equals the per-facet
+    composed variant's, the extra cost is K synopsis combines."""
+    y0, _y1, x0, _x1 = window
+    ph = window[1] - y0
+    pw = window[3] - x0
+    geom = _geom_static(plan)
+    bias = 1.0 / ST.DERIV_BIAS
+    spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
+                   for (cx, cy, w) in plan.spread)
+
+    per_facet = []
+    for fi, src in enumerate(sources):
+        frame_fn, state, assigned, passes = fused_frame(
+            plan, src, window, classes, fi=fi, spread=spread,
+            pertap=True)
+        n_fast = int((assigned >= 0).sum())
+        n_zero = int((assigned == ZERO_PASS).sum())
+        if verbose:
+            print(f"fastpath(multi/pertap): facet {fi}: {n_fast}/"
+                  f"{assigned.size} tiles fused, {n_zero} empty")
+        if n_fast == 0 and n_zero < assigned.size:
+            return None  # one facet entirely unfusable: use XLA path
+        basis = _basis_arg(plan, fi)
+        bad = np.argwhere(assigned == -1)
+        derivs = None
+        if bad.size:
+            if verbose:
+                print(f"fastpath(multi/pertap): facet {fi}: "
+                      f"{len(bad)} tiles via XLA fallback")
+            c0 = _coords(geom, window, "orig", src, fi, (0.0, 0.0),
+                         basis)
+            c10 = _coords(geom, window, "orig", src, fi,
+                          (ST.DERIV_BIAS, 0.0), basis)
+            c01 = _coords(geom, window, "orig", src, fi,
+                          (0.0, ST.DERIV_BIAS), basis)
+            dux, dvx = _deriv(c0[0], c10[0], c01[0])
+            duy, dvy = _deriv(c0[1], c10[1], c01[1])
+            derivs = (c0[0], c0[1], dux, duy, dvx, dvy)
+        per_facet.append((frame_fn, state, n_fast, bad, derivs, src,
+                          basis))
+
+    acc = None
+    for (cx, cy, w) in spread:
+        px_list, mask_list, score_list = [], [], []
+        for fi, (frame_fn, state, n_fast, bad, derivs, src, basis) \
+                in enumerate(per_facet):
+            st_k = dict(state)
+            st_k["spread"] = jnp.asarray([cx, cy, 1.0], jnp.float32)
+            if n_fast:
+                img_f = frame_fn(st_k, jnp.float32(0))
+            else:
+                img_f = jnp.zeros((ph, pw, plan.nchannels),
+                                  jnp.float32)
+            mask, score = _tap_mask_score(
+                geom, window, src, fi,
+                jnp.asarray([cx * ST.DERIV_BIAS, cy * ST.DERIV_BIAS],
+                            jnp.float32), basis)
+            for ti, tj in bad:
+                oy = jnp.int32(int(ti) * PR.TILE_H)
+                ox = jnp.int32(int(tj) * PR.TILE_W)
+                sx0, sy0, dux, duy, dvx, dvy = derivs
+                tile = _eval_tile_xla_twined(
+                    src.spl.coeff, sx0, sy0, dux, duy, dvx, dvy,
+                    (oy, ox), src.spl.degree, ((cx, cy, 1.0),))
+                tile = E.repix(tile, plan.nchannels)
+                if src.static.brighten != 1.0:
+                    tile = E.apply_brighten(tile,
+                                            src.static.brighten)
+                img_f = jax.lax.dynamic_update_slice(
+                    img_f, tile, (oy, ox, 0))
+            img_f = jnp.where(mask[..., None], img_f, 0.0)
+            px_list.append(img_f)
+            mask_list.append(mask)
+            score_list.append(score)
+        tap_img = _combine_stack(plan, sources, px_list, mask_list,
+                                 score_list)
+        term = float(w) * tap_img
+        acc = term if acc is None else acc + term
+
+    img = np.array(jax.device_get(acc), np.float32)
     return img[:out_h, :out_w]

@@ -55,10 +55,22 @@ def load_source(fct: Facet, args) -> E.FacetSource:
         src.variants = variants
         return src
 
+    # durable miss path: the on-disk coefficient cache skips image
+    # read + prefilter + variant builds across process restarts
+    from . import coeff_cache
+    disk = coeff_cache.load(args, fct, key)
+    if disk is not None:
+        spl, variants = disk
+        src = _make_source_from(fct, args, spl)
+        src.variants = variants
+        assets.cache.add(key, (src.spl, src.variants))
+        return src
+
     img = _read_facet_image(fct, args)
     src = _build(fct, args, img)
     _attach_variants(src, fct, args)
     assets.cache.add(key, (src.spl, src.variants))
+    coeff_cache.store(args, fct, key, src.spl, src.variants)
     return src
 
 

@@ -1,0 +1,76 @@
+"""Built-in colour space tests (io/colour.py): matrices derived from
+primaries match the published standards, round trips are exact, and
+the imgio hook routes non-sRGB pairs through the built-ins."""
+
+import numpy as np
+import pytest
+
+from envutil_tpu.io import colour as C
+from envutil_tpu.io import imgio
+
+RNG = np.random.default_rng(11)
+
+
+def test_rec709_matrix_matches_bt709_spec():
+    """Derived Rec.709->XYZ matrix equals the published BT.709 /
+    IEC 61966 values."""
+    m = C.rgb_to_xyz_matrix(*C._PRIMARIES["rec709"])
+    ref = np.array([[0.4123908, 0.35758434, 0.18048079],
+                    [0.21263901, 0.71516868, 0.07219232],
+                    [0.01933082, 0.11919478, 0.95053215]])
+    np.testing.assert_allclose(m, ref, atol=2e-4)
+
+
+def test_white_maps_to_white():
+    """Equal-energy white survives every gamut pair (white adaptation
+    correctness)."""
+    spaces = ["scene_linear", "lin_rec2020", "ACEScg", "ACES2065-1",
+              "lin_p3d65"]
+    w = np.ones((1, 3), np.float32)
+    for a in spaces:
+        for b in spaces:
+            out = C.convert(w, a, b)
+            np.testing.assert_allclose(out, w, atol=2e-4,
+                                        err_msg=f"{a}->{b}")
+
+
+@pytest.mark.parametrize("pair", [("scene_linear", "ACEScg"),
+                                  ("sRGB", "lin_rec2020"),
+                                  ("rec709", "gamma2.2"),
+                                  ("ACES2065-1", "lin_p3d65")])
+def test_round_trip(pair):
+    a, b = pair
+    x = RNG.uniform(0.0, 1.0, (64, 3)).astype(np.float32)
+    y = C.convert(C.convert(x, a, b), b, a)
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_srgb_transfer_matches_imgio():
+    x = RNG.uniform(0.0, 1.0, (32, 3)).astype(np.float32)
+    np.testing.assert_allclose(C.convert(x, "sRGB", "scene_linear"),
+                               imgio.srgb_to_linear(x), atol=1e-6)
+
+
+def test_imgio_convert_colour_uses_builtin():
+    x = RNG.uniform(0.0, 1.0, (4, 4, 3)).astype(np.float32)
+    out = imgio.convert_colour(x, "ACEScg", "scene_linear")
+    ref = C.convert(x, "ACEScg", "scene_linear")
+    np.testing.assert_allclose(out, ref)
+    # alpha passes through
+    xa = np.concatenate([x, np.full((4, 4, 1), 0.7, np.float32)], -1)
+    outa = imgio.convert_colour(xa, "ACEScg", "scene_linear")
+    np.testing.assert_allclose(outa[..., 3], 0.7)
+    np.testing.assert_allclose(outa[..., :3], ref)
+    # unknown spaces still raise (OCIO absent)
+    with pytest.raises(ValueError, match="OCIO"):
+        imgio.convert_colour(x, "weird_cam_log", "scene_linear")
+
+
+def test_acescg_to_rec709_known_value():
+    """AP1 pure green is out of the 709 gamut: conversion must land on
+    the documented (negative-R) linear value."""
+    g = np.array([[0.0, 1.0, 0.0]], np.float32)
+    out = C.convert(g, "ACEScg", "lin_rec709")
+    # published ACEScg->Rec709 (Bradford D60->D65) middle column
+    np.testing.assert_allclose(out[0], [-0.62179, 1.14080, -0.12897],
+                               atol=2e-4)

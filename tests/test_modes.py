@@ -176,3 +176,36 @@ def test_cp_statistics_brightness_ratio(tmp_path, capsys):
     assert ratio_line, out
     ratio = float(ratio_line[0].split()[1])
     assert abs(ratio - 2.0) < 0.05, ratio
+
+
+def test_coeff_cache_resume(tmp_path):
+    """--coeff_cache persists prefiltered coefficients; a fresh
+    process state (cleared RAM cache) restores them from disk and the
+    render is bit-identical. Touching the source invalidates."""
+    env = synthetic_equirect(128, 64)
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+    cdir = tmp_path / "ccache"
+    argv = ["--input", str(tmp_path / "env.exr"), "--projection",
+            "rectilinear", "--hfov", "70", "--width", "64",
+            "--height", "64", "--degree", "3", "--twine", "0",
+            "--coeff_cache", str(cdir)]
+    core(argv + ["--output", str(tmp_path / "a.exr")])
+    entries = list(cdir.glob("coeff_*.npz"))
+    assert len(entries) == 1
+    first_stat = entries[0].stat().st_mtime_ns
+
+    assets.cache.clear()  # simulate a process restart
+    core(argv + ["--output", str(tmp_path / "b.exr")])
+    a = imgio.read_image(str(tmp_path / "a.exr"))
+    b = imgio.read_image(str(tmp_path / "b.exr"))
+    np.testing.assert_array_equal(a, b)
+    assert entries[0].stat().st_mtime_ns == first_stat  # reused, not rebuilt
+
+    # invalidate: rewrite the source with different content
+    assets.cache.clear()
+    imgio.save_image(str(tmp_path / "env.exr"), env * 0.5,
+                     projection_name="spherical", hfov_deg=360)
+    core(argv + ["--output", str(tmp_path / "c.exr")])
+    c = imgio.read_image(str(tmp_path / "c.exr"))
+    assert np.abs(c - a).max() > 0.01  # re-prefiltered from new pixels

@@ -152,3 +152,124 @@ def test_rolled_spline_spherical():
     a = S.eval_spline(spl, xs, ys)
     b = S.eval_spline(rolled, xs + 16.0, ys)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def _compact_tiles(stats, nty, ntx, degree, wc, hp, wp):
+    origins, fast = PR.classify_tiles(
+        [np.asarray(s) for s in stats], hp, wp, degree, wc)
+    assert fast.all()
+    iby, ibx = np.nonzero(fast)
+    org = origins[iby * ntx + ibx]
+    tiles = np.column_stack([iby, ibx, iby, ibx,
+                             org[:, 0], org[:, 1]]).astype(np.int32)
+    ext = PR.row_block_origins(stats, tiles, degree, wc)
+    assert ext.shape == (tiles.shape[0], 2 * PR.NRB)
+    assert (ext[:, 0::2] % 8 == 0).all()
+    assert (ext[:, 1::2] % 128 == 0).all()
+    return np.concatenate([tiles, ext], axis=1)
+
+
+@pytest.mark.parametrize("degree", [2, 3])
+def test_resample_into_extended_rows(degree):
+    """Extended tile rows (host-precomputed per-row-block origins)
+    produce the same exact evaluation as the in-kernel reductions."""
+    spl, coeffp, px, py, ref = _setup(degree)
+    stats = [np.asarray(s) for s in PR.tile_stats(px, py)]
+    nty, ntx = px.shape[0] // PR.TILE_H, px.shape[1] // PR.TILE_W
+    tiles = _compact_tiles(stats, nty, ntx, degree, PR.LOCAL,
+                           coeffp.shape[1], coeffp.shape[2])
+    canvas = jnp.zeros((coeffp.shape[0],) + px.shape, jnp.float32)
+    out = PR.resample_planar_into(canvas, coeffp, px, py,
+                                  jnp.asarray(tiles), degree=degree,
+                                  wc=PR.LOCAL, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+    # and the plain 6-int rows still work (in-kernel reductions)
+    out6 = PR.resample_planar_into(canvas, coeffp, px, py,
+                                   jnp.asarray(tiles[:, :6]),
+                                   degree=degree, wc=PR.LOCAL,
+                                   interpret=True)
+    out6 = np.moveaxis(np.asarray(out6), 0, -1)
+    np.testing.assert_allclose(out6, ref, atol=5e-5)
+
+
+def test_resample_twined_into_extended_rows():
+    spl, coeffp, px, py, _ref = _setup(3)
+    spread = ((-0.5, -0.25, 0.3), (0.0, 0.0, 0.4), (0.5, 0.25, 0.3))
+    dux = jnp.full(px.shape, 0.6, jnp.float32)
+    duy = jnp.full(px.shape, 0.1, jnp.float32)
+    dvx = jnp.full(px.shape, -0.1, jnp.float32)
+    dvy = jnp.full(px.shape, 0.5, jnp.float32)
+    cmx = max(abs(c[0]) for c in spread)
+    cmy = max(abs(c[1]) for c in spread)
+    mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+    my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+    stats = PR.tile_stats_range(px - mx, px + mx, py - my, py + my)
+    nty, ntx = px.shape[0] // PR.TILE_H, px.shape[1] // PR.TILE_W
+    tiles = _compact_tiles([np.asarray(s) for s in stats], nty, ntx,
+                           3, PR.LOCAL, coeffp.shape[1],
+                           coeffp.shape[2])
+    spread_flat = jnp.asarray(np.asarray(spread, np.float32).ravel())
+    canvas = jnp.zeros((coeffp.shape[0],) + px.shape, jnp.float32)
+    out = PR.resample_twined_into(canvas, coeffp, px, py, dux, duy,
+                                  dvx, dvy, jnp.asarray(tiles),
+                                  spread_flat, degree=3, n_taps=3,
+                                  wc=PR.LOCAL, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    ref = None
+    for cx, cy, wgt in spread:
+        v = S.eval_spline(spl, px + cx * dux + cy * dvx - spl.pad,
+                          py + cx * duy + cy * dvy - spl.pad,
+                          apply_gate=False)
+        ref = wgt * v if ref is None else ref + wgt * v
+    np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
+
+
+def test_tap_mask_score_traced_bias():
+    """The traced-bias per-tap mask/score pass equals the static-bias
+    coordinate pass (per-tap synopsis semantics, fastpath)."""
+    import math
+
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.core.facet import Facet
+    from envutil_tpu.core.metrics import get_extent, get_step
+    from envutil_tpu.models import environment as E
+    from envutil_tpu.models import stepper as ST
+    from envutil_tpu.runtime.args import Args
+    from envutil_tpu.runtime.fastpath import (_coords, _tap_mask_score,
+                                              _basis_arg)
+    from envutil_tpu.runtime.render import build_plan
+
+    img = np.asarray(RNG.uniform(0, 1, (64, 96, 3)), np.float32)
+    fct = Facet(facet_no=0, nchannels=3)
+    fct.set_geometry(Projection.RECTILINEAR, 96, 64, math.radians(70))
+    fct.step = get_step(Projection.RECTILINEAR, 96, 64,
+                        math.radians(70))
+    fct.yaw = math.radians(25.0)
+    fct.process_geometry()
+    src = E.make_mount_source(fct, img, 1, 1)
+
+    args = Args()
+    args.projection = Projection.RECTILINEAR
+    args.width = args.height = 128
+    args.hfov = math.radians(90)
+    args.extent = get_extent(args.projection, 128, 128, args.hfov)
+    args.step = (args.extent.x1 - args.extent.x0) / 128
+    args.spline_degree = args.prefilter_degree = 1
+    args.nchannels = 3
+    args.facets = [fct]
+    plan = build_plan(args, [fct])
+    window = (0, 128, 0, 128)
+    basis = _basis_arg(plan, 0)
+
+    for tap in ((0.0, 0.0), (0.25, 0.0), (-0.17, 0.31)):
+        ref = _coords(plan, window, "orig", src, 0, tap, basis)
+        m, s = _tap_mask_score(plan, window, src, 0,
+                               jnp.asarray(tap, jnp.float32), basis)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(ref[2]))
+        # score = ray_z * recip_step where valid
+        exp = np.where(np.asarray(ref[2]),
+                       np.asarray(ref[3]) * src.static.recip_step,
+                       np.float32(np.finfo(np.float32).min))
+        np.testing.assert_allclose(np.asarray(s)[np.asarray(m)],
+                                   exp[np.asarray(m)], rtol=2e-5)

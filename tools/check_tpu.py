@@ -1,0 +1,107 @@
+"""TPU correctness check: fused fast path (SMEM origins + dbuf) and
+per-tap twined multi-facet path vs the exact XLA graph, on small
+frames. Development tool."""
+
+import math
+import sys
+
+import numpy as np
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64)
+                   - np.asarray(b, np.float64)) ** 2)
+    return 10 * math.log10(1.0 / mse) if mse > 0 else 999.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.core.facet import Facet
+    from envutil_tpu.core.metrics import get_extent, get_step
+    from envutil_tpu.models import environment as E
+    from envutil_tpu.runtime import fastpath
+    from envutil_tpu.runtime.args import Args
+    from envutil_tpu.runtime.render import (_compiled_window,
+                                            build_plan)
+
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(7)
+
+    def mk_facet(w, h, yaw, seed):
+        img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        fct = Facet(facet_no=seed, nchannels=3)
+        fct.set_geometry(Projection.SPHERICAL, w, h, 2 * math.pi)
+        fct.step = get_step(Projection.SPHERICAL, w, h, 2 * math.pi)
+        fct.yaw = yaw
+        fct.process_geometry()
+        src = E.make_mount_source(fct, img, 3, 3)
+        return fct, src
+
+    def mk_args(width, height, twine):
+        args = Args()
+        args.projection = Projection.RECTILINEAR
+        args.width, args.height = width, height
+        args.hfov = math.radians(80)
+        args.extent = get_extent(args.projection, width, height,
+                                 args.hfov)
+        args.step = (args.extent.x1 - args.extent.x0) / width
+        args.spline_degree = args.prefilter_degree = 3
+        args.nchannels = 3
+        args.twine = twine
+        if twine:
+            args.twine_spread = [(-0.25, -0.25, 0.25),
+                                 (0.25, -0.25, 0.25),
+                                 (-0.25, 0.25, 0.25),
+                                 (0.25, 0.25, 0.25)]
+        return args
+
+    ok = True
+
+    # --- solo fused frame vs XLA -------------------------------------
+    fct, src = mk_facet(1024, 512, 0.0, 0)
+    args = mk_args(256, 256, 0)
+    args.facets = [fct]
+    args.solo = 0
+    plan = build_plan(args, [fct])
+    fused = fastpath.render_fast(plan, [src], verbose=True)
+    xla = np.asarray(_compiled_window(plan, (0, 256, 0, 256))([src]))
+    p = psnr(fused, xla)
+    print(f"solo fused vs XLA: PSNR {p:.1f} dB", flush=True)
+    ok &= p > 60.0
+
+    # --- per-tap twined multi-facet vs XLA ---------------------------
+    fct0, src0 = mk_facet(768, 384, 0.0, 1)
+    # a partial facet (not full 360) so validity masks cut in
+    img1 = rng.uniform(0, 1, (384, 512, 3)).astype(np.float32)
+    fct1 = Facet(facet_no=1, nchannels=3)
+    fct1.set_geometry(Projection.RECTILINEAR, 512, 384,
+                      math.radians(100))
+    fct1.step = get_step(Projection.RECTILINEAR, 512, 384,
+                         math.radians(100))
+    fct1.yaw = math.radians(20.0)
+    fct1.process_geometry()
+    src1 = E.make_mount_source(fct1, img1, 3, 3)
+
+    args = mk_args(256, 256, 1)
+    args.facets = [fct0, fct1]
+    args.solo = -1
+    plan = build_plan(args, [fct0, fct1])
+    fused = fastpath.render_fast(plan, [src0, src1], verbose=True)
+    if fused is None:
+        print("multi/pertap: not eligible?!")
+        sys.exit(1)
+    xla = np.asarray(
+        _compiled_window(plan, (0, 256, 0, 256))([src0, src1]))
+    p = psnr(fused, xla)
+    print(f"multi pertap fused vs XLA: PSNR {p:.1f} dB", flush=True)
+    ok &= p > 55.0
+
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
