@@ -317,11 +317,12 @@ def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     )(origins, sx, sy, coeff)
 
 
-def _dbuf_ok(wc: WindowClass, nch: int) -> bool:
+def _dbuf_ok(wc: WindowClass, nch: int, itemsize: int = 4) -> bool:
     """Whether two window buffers (cross-grid-step DMA double
-    buffering) fit the ~16MB VMEM next to the revolving in/out
-    blocks."""
-    return 2 * nch * wc.win_h * wc.win_w * 4 <= 11 * 2 ** 20
+    buffering) plus the f32 upcast buffer (bf16 storage) fit the
+    ~16MB VMEM next to the revolving in/out blocks."""
+    per_elem = 2 * itemsize + (4 if itemsize < 4 else 0)
+    return nch * wc.win_h * wc.win_w * per_elem <= 11 * 2 ** 20
 
 
 def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
@@ -329,10 +330,12 @@ def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
                           coeff_ref,          # (C, Hp, Wp) HBM/ANY
                           canvas_ref,         # aliased output (unread)
                           out_ref,            # (C, TILE_H, TILE_W) VMEM
-                          win_ref, sem,
-                          *, degree: int, wc: WindowClass, nch: int,
+                          *scratch,
+                          degree: int, wc: WindowClass, nch: int,
                           nt: int, dbuf: bool, unroll: int,
                           stride: int):
+    win_ref, sem = scratch[0], scratch[1]
+    f32_ref = scratch[2] if len(scratch) > 2 else None
     t = pl.program_id(0)
     ext = stride >= TILE_ROW_INTS_EXT
 
@@ -369,6 +372,13 @@ def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
         copy.start()
         copy.wait()
         win = win_ref
+
+    if f32_ref is not None:
+        # bfloat16 coefficient storage: DMA moved half the bytes; one
+        # upcast pass per tile keeps the gather path f32
+        for ch in range(nch):
+            f32_ref[ch] = win[ch].astype(jnp.float32)
+        win = f32_ref
 
     oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
     oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
@@ -419,8 +429,19 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
                         mode="edge")
         nch, hp, wp = coeff.shape
+    bf16 = coeff.dtype == jnp.bfloat16
+    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
     nt, stride = tiles.shape
-    dbuf = _dbuf_ok(wc, nch) and not interpret
+
+    scratch = [
+        pltpu.VMEM(((2,) if dbuf else ()) +
+                   (nch, wc.win_h, wc.win_w), coeff.dtype),
+        pltpu.SemaphoreType.DMA((2,)) if dbuf
+        else pltpu.SemaphoreType.DMA,
+    ]
+    if bf16:
+        scratch.append(pltpu.VMEM((nch, wc.win_h, wc.win_w),
+                                  jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -441,12 +462,7 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
             (nch, TILE_H, TILE_W),
             lambda t, o: (0, o[t * stride + 2], o[t * stride + 3]),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM(((2,) if dbuf else ()) +
-                       (nch, wc.win_h, wc.win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)) if dbuf
-            else pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
     kern = functools.partial(_resample_kernel_into, degree=degree,
                              wc=wc, nch=nch, nt=nt, dbuf=dbuf,
@@ -470,10 +486,12 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
 def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                         sx_ref, sy_ref,
                         dux_ref, duy_ref, dvx_ref, dvy_ref,
-                        coeff_ref, canvas_ref, out_ref, win_ref, sem,
-                        *, degree: int, wc: WindowClass, nch: int,
+                        coeff_ref, canvas_ref, out_ref, *scratch,
+                        degree: int, wc: WindowClass, nch: int,
                         n_taps: int, nt: int, dbuf: bool,
                         stride: int):
+    win_ref, sem = scratch[0], scratch[1]
+    f32_ref = scratch[2] if len(scratch) > 2 else None
     """Compact-grid twined kernel: one grid step per listed tile,
     writing into the donated canvas. Taps evaluate through
     _eval_row_block; the classifier's margin budgets
@@ -513,6 +531,11 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
         copy.start()
         copy.wait()
         win = win_ref
+
+    if f32_ref is not None:
+        for ch in range(nch):
+            f32_ref[ch] = win[ch].astype(jnp.float32)
+        win = f32_ref
 
     oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
     oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
@@ -567,7 +590,18 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
                         mode="edge")
         nch, hp, wp = coeff.shape
     nt, stride = tiles.shape
-    dbuf = _dbuf_ok(wc, nch) and not interpret
+    bf16 = coeff.dtype == jnp.bfloat16
+    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
+
+    scratch = [
+        pltpu.VMEM(((2,) if dbuf else ()) +
+                   (nch, wc.win_h, wc.win_w), coeff.dtype),
+        pltpu.SemaphoreType.DMA((2,)) if dbuf
+        else pltpu.SemaphoreType.DMA,
+    ]
+    if bf16:
+        scratch.append(pltpu.VMEM((nch, wc.win_h, wc.win_w),
+                                  jnp.float32))
 
     cmap = lambda t, o, s: (o[t * stride], o[t * stride + 1])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -582,12 +616,7 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
             lambda t, o, s: (0, o[t * stride + 2],
                              o[t * stride + 3]),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM(((2,) if dbuf else ()) +
-                       (nch, wc.win_h, wc.win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)) if dbuf
-            else pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
     kern = functools.partial(_twined_kernel_into, degree=degree,
                              wc=wc, nch=nch, n_taps=n_taps, nt=nt,

@@ -70,6 +70,7 @@ class Args(Facet):
     twine_precise: bool = False
     precise: bool = False
     coeff_cache: str = ""
+    coeff_dtype: str = "f32"
     twine_width: float = 1.0
     twine_density: float = 1.0
     twine_sigma: float = 0.0
@@ -193,6 +194,10 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--coeff_cache", default="", metavar="DIR",
                     help="persist prefiltered coefficients on disk "
                     "(restart resume; also ENVUTIL_COEFF_CACHE)")
+    ap.add_argument("--coeff", dest="coeff_dtype", default="f32",
+                    choices=("f32", "bf16"),
+                    help="coefficient storage dtype (bf16 halves HBM "
+                    "for 16K+ sources; ~45 dB)")
     ap.add_argument("--twine_width", type=float, default=1.0)
     ap.add_argument("--twine_density", type=float, default=1.0)
     ap.add_argument("--twine_sigma", type=float, default=0.0)
@@ -421,6 +426,7 @@ def parse_args(argv: List[str]) -> Args:
     args.twine_precise = ns.twine_precise
     args.precise = ns.precise
     args.coeff_cache = ns.coeff_cache
+    args.coeff_dtype = ns.coeff_dtype
     args.twine_width = ns.twine_width
     args.twine_density = ns.twine_density
     args.twine_sigma = ns.twine_sigma

@@ -43,7 +43,8 @@ def load_source(fct: Facet, args) -> E.FacetSource:
     # there, so we only skip for facets that can never contribute.
 
     key = (fct.asset_key, args.spline_degree, args.prefilter_degree,
-           fct.projection, args.nchannels if fct.masked != -1 else -1)
+           fct.projection, args.nchannels if fct.masked != -1 else -1,
+           getattr(args, "coeff_dtype", "f32"))
     cached = assets.cache.find(key)
     if cached is not None:
         if args.verbose:
@@ -63,15 +64,37 @@ def load_source(fct: Facet, args) -> E.FacetSource:
         spl, variants = disk
         src = _make_source_from(fct, args, spl)
         src.variants = variants
+        _apply_coeff_dtype(src, args)
         assets.cache.add(key, (src.spl, src.variants))
         return src
 
     img = _read_facet_image(fct, args)
     src = _build(fct, args, img)
     _attach_variants(src, fct, args)
-    assets.cache.add(key, (src.spl, src.variants))
     coeff_cache.store(args, fct, key, src.spl, src.variants)
+    _apply_coeff_dtype(src, args)
+    assets.cache.add(key, (src.spl, src.variants))
     return src
+
+
+def _apply_coeff_dtype(src: E.FacetSource, args) -> None:
+    """--coeff bf16: store coefficient tables in bfloat16 (half the
+    HBM footprint and window DMA traffic; evaluation still runs f32
+    after an in-kernel upcast). The accuracy cost is the bf16 rounding
+    of the coefficients (~8 mantissa bits, ~45 dB) - intended for 16K+
+    sources whose f32 tables would not fit."""
+    if getattr(args, "coeff_dtype", "f32") != "bf16":
+        return
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    def cv(spl):
+        return _dc.replace(spl, coeff=spl.coeff.astype(jnp.bfloat16))
+
+    if src.spl is not None:
+        src.spl = cv(src.spl)
+    src.variants = {k: cv(v) for k, v in src.variants.items()}
 
 
 def _attach_variants(src: E.FacetSource, fct: Facet, args) -> None:

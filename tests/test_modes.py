@@ -209,3 +209,24 @@ def test_coeff_cache_resume(tmp_path):
     core(argv + ["--output", str(tmp_path / "c.exr")])
     c = imgio.read_image(str(tmp_path / "c.exr"))
     assert np.abs(c - a).max() > 0.01  # re-prefiltered from new pixels
+
+
+def test_coeff_bf16_render(tmp_path):
+    """--coeff bf16 renders within bf16 rounding of the f32 result
+    (XLA path on CPU; the kernel path is covered by the bf16
+    interpreter test and the TPU check tool)."""
+    env = synthetic_equirect(256, 128)
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+    argv = ["--input", str(tmp_path / "env.exr"), "--projection",
+            "rectilinear", "--hfov", "70", "--width", "128",
+            "--height", "96", "--degree", "3", "--twine", "0"]
+    core(argv + ["--output", str(tmp_path / "f32.exr")])
+    assets.cache.clear()
+    core(argv + ["--coeff", "bf16",
+                 "--output", str(tmp_path / "bf16.exr")])
+    a = imgio.read_image(str(tmp_path / "f32.exr"))
+    b = imgio.read_image(str(tmp_path / "bf16.exr"))
+    p = psnr(a, b)
+    assert p > 40.0, f"bf16 PSNR {p:.1f} dB"
+    assert np.abs(a - b).max() > 0  # actually took the bf16 path

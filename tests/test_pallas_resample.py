@@ -273,3 +273,22 @@ def test_tap_mask_score_traced_bias():
                        np.float32(np.finfo(np.float32).min))
         np.testing.assert_allclose(np.asarray(s)[np.asarray(m)],
                                    exp[np.asarray(m)], rtol=2e-5)
+
+
+def test_resample_into_bf16_coefficients():
+    """bfloat16 coefficient storage: the kernel upcasts the window
+    once per tile; result matches the f32 evaluation to bf16 rounding
+    (~2^-9 relative)."""
+    degree = 3
+    spl, coeffp, px, py, ref = _setup(degree)
+    stats = [np.asarray(s) for s in PR.tile_stats(px, py)]
+    nty, ntx = px.shape[0] // PR.TILE_H, px.shape[1] // PR.TILE_W
+    tiles = _compact_tiles(stats, nty, ntx, degree, PR.LOCAL,
+                           coeffp.shape[1], coeffp.shape[2])
+    canvas = jnp.zeros((coeffp.shape[0],) + px.shape, jnp.float32)
+    out = PR.resample_planar_into(canvas, coeffp.astype(jnp.bfloat16),
+                                  px, py, jnp.asarray(tiles),
+                                  degree=degree, wc=PR.LOCAL,
+                                  interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    np.testing.assert_allclose(out, ref, atol=6e-3)

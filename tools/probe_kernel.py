@@ -60,7 +60,15 @@ def check_correct(coeff, sx, sy, tiles):
         assert err < 1e-4, wc.name
 
 
-def time_class(coeff, sx, sy, tiles, wc, unroll, runs=4):
+def _extend(tiles, sx, sy, wc):
+    stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
+    ext = PR.row_block_origins(stats, np.asarray(tiles), DEG, wc)
+    return jnp.asarray(np.concatenate([np.asarray(tiles), ext], 1))
+
+
+def time_class(coeff, sx, sy, tiles, wc, unroll, runs=4, ext=True):
+    if ext:
+        tiles = _extend(tiles, sx, sy, wc)
     canvas = jnp.zeros((3, sx.shape[0], sx.shape[1]), jnp.float32)
 
     @jax.jit
@@ -80,8 +88,8 @@ def time_class(coeff, sx, sy, tiles, wc, unroll, runs=4):
     dt = (time.perf_counter() - t0) / runs
     us_tile = dt / tiles.shape[0] * 1e6
     mpix = tiles.shape[0] * PR.TILE_H * PR.TILE_W / 1e6 / dt
-    print(f"  {wc.name} unroll={unroll}: {us_tile:8.1f} us/tile "
-          f"({mpix:7.1f} Mpix/s)", flush=True)
+    print(f"  {wc.name} unroll={unroll} ext={ext}: {us_tile:8.1f} "
+          f"us/tile ({mpix:7.1f} Mpix/s)", flush=True)
     return us_tile
 
 
@@ -94,7 +102,8 @@ def main():
     # timing on a larger grid for steady state
     coeff, sx, sy, tiles = make_case(8, 8, nt=512)
     print("per-class cost (512 tiles):", flush=True)
-    for wc in (PR.TIGHT, PR.ROWS4, PR.ROWS6, PR.LOCAL):
+    for wc in (PR.TIGHT, PR.ROWS4, PR.ROWS6, PR.MID, PR.LOCAL,
+               PR.MINIFY, PR.DIAG):
         for unroll in (False, True):
             time_class(coeff, sx, sy, tiles, wc, unroll)
 
