@@ -48,25 +48,45 @@ TILE_W = 128
 # compact-grid tile rows: (in_by, in_bx, out_by, out_bx, oy, ox) plus,
 # in the extended form, per-row-block candidate origins (rb0, cb0) x
 # NRB precomputed by the pass planner (kills the in-kernel scalar
-# reductions on the gather-address critical path)
+# reductions on the gather-address critical path); sheared classes
+# ship (rb0, cb0, a_fix, b_fix) x NRB instead (fixed-point linear
+# shear fit, a in 1/256 rows, b in 1/65536 rows/column)
 NRB = TILE_H // 8
 TILE_ROW_INTS = 6
 TILE_ROW_INTS_EXT = TILE_ROW_INTS + 2 * NRB
+TILE_ROW_INTS_SHEAR = TILE_ROW_INTS + 4 * NRB
+A_FIX = 256          # fixed-point scale of the shear intercept
+B_FIX = 65536        # fixed-point scale of the shear slope
 
 
 @dataclasses.dataclass(frozen=True)
 class WindowClass:
-    """Static per-tile source-window geometry and per-vreg budgets."""
+    """Static per-tile source-window geometry and per-vreg budgets.
+
+    ``shear_q > 0`` selects the *sheared-window* evaluation: per
+    (8, 128) output row-block the classifier fits a linear shear
+    ``S(c) = a + b*c`` (source row as a function of source column) and
+    the kernel materializes ``shear_q`` 8-row *sheared bands*
+    ``band[q][s, c] = win[S(c) + 8q + s, c]`` once - paying the
+    ``cand_r`` row-candidate cascade per band instead of per
+    (tap, channel). Because the shear is a function of the source
+    column, it commutes with the sublane-constant column gather, so
+    the subsequent per-element row resolve only spans the small *fit
+    residual* (``8*shear_q`` rows) instead of the raw row span. This
+    cuts the gather count (the kernel's bottleneck: the VPU resolves
+    one (8,128) dynamic_gather per cycle) by ~2-3x on diagonal warps."""
     win_h: int      # multiple of 8
     win_w: int      # multiple of 128
     cand_r: int     # candidate row-blocks of 8 per vreg
     cand_c: int     # candidate lane-blocks of 128 per vreg
     k_taps: int     # horizontal tap columns per pixel lane
+    shear_q: int = 0  # sheared bands of 8 rows (0 = unsheared)
 
     @property
     def name(self):
+        s = f"q{self.shear_q}" if self.shear_q else ""
         return (f"w{self.win_h}x{self.win_w}r{self.cand_r}"
-                f"c{self.cand_c}k{self.k_taps}")
+                f"c{self.cand_c}k{self.k_taps}{s}")
 
 
 # general local warps (|dy/dx_out| up to ~0.4, sublane x-drift <= 4)
@@ -90,6 +110,26 @@ MINIFY = WindowClass(win_h=512, win_w=896, cand_r=8, cand_c=6, k_taps=6)
 # diagonal warps (e.g. 90-degree-pitched equirect re-parametrization):
 # ~8x the per-tile cost, used for per-asset preprocessing builds
 DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3, k_taps=16)
+
+# sheared siblings: same windows/coverage budgets as the classes they
+# shadow, plus the residual-fits-in-8*Q criterion; admitted tiles cost
+# ~1.5-4x less (fewer gathers), so the planner tries these first
+SHEAR4 = WindowClass(win_h=192, win_w=384, cand_r=4, cand_c=2,
+                     k_taps=5, shear_q=2)
+SHEAR6 = WindowClass(win_h=256, win_w=384, cand_r=6, cand_c=2,
+                     k_taps=5, shear_q=2)
+SHEAR6_3 = WindowClass(win_h=256, win_w=384, cand_r=6, cand_c=2,
+                       k_taps=5, shear_q=3)
+SHEAR_MID = WindowClass(win_h=256, win_w=512, cand_r=4, cand_c=3,
+                        k_taps=6, shear_q=2)
+SHEAR_LOCAL = WindowClass(win_h=384, win_w=512, cand_r=8, cand_c=3,
+                          k_taps=8, shear_q=2)
+SHEAR_LOCAL_3 = WindowClass(win_h=384, win_w=512, cand_r=8, cand_c=3,
+                            k_taps=8, shear_q=3)
+SHEAR_MINIFY = WindowClass(win_h=512, win_w=896, cand_r=8, cand_c=6,
+                           k_taps=6, shear_q=2)
+SHEAR_DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3,
+                         k_taps=16, shear_q=3)
 
 
 def aligned_dims(hp: int, wp: int, wc: WindowClass) -> Tuple[int, int]:
@@ -219,6 +259,117 @@ def _eval_row_block(sx, sy, win_ref, *, degree: int, wc: WindowClass,
                     v = jnp.where(qb[j] == b, g, v)
                 acc = acc + wjk[j][k] * v
         accs.append(acc)
+    return accs
+
+
+def _eval_row_block_sheared(sx, sy, win_ref, *, degree: int,
+                            wc: WindowClass, nch: int, rb0, cb0,
+                            a_fix, b_fix, col0):
+    """Sheared-window tensor-product evaluation for one (8, TILE_W)
+    vreg row-block (see WindowClass.shear_q). ``sx``/``sy`` are
+    window-relative; ``col0`` is the window origin's absolute (padded
+    array) column, so the shear line ``S(c) = floor(a + b*c)`` is
+    evaluated in the same absolute column coordinates the classifier
+    fitted it in. ``a_fix`` carries the classifier's residual shift
+    (rlo - 1 - oy folded in), so residuals land in [0, 8*shear_q).
+
+    Exactness: the shear only re-bases the *row resolve* - each tap
+    still reads the coefficient at its exact (row, column) address and
+    is weighted by the exact basis weight; the classifier admits a tile
+    only if every used residual fits the band budget (with a 1-row
+    margin for float wobble in the two floor() evaluations)."""
+    n1 = degree + 1
+    off = degree // 2
+    Q = wc.shear_q
+
+    sely, ty = _split(sy, degree)
+    by = sely - off
+    wy = _weights_poly(ty, degree)
+
+    selx, tx = _split(sx, degree)
+    bx = selx - off
+    bxc = jnp.broadcast_to(jnp.min(bx, axis=0, keepdims=True),
+                           (8, TILE_W))
+    lxc = jnp.clip(bxc - cb0, 0, 128 * wc.cand_c - 1)
+
+    delta = bx - bxc
+    wx = _weights_poly(tx, degree)
+    wk = []
+    for k in range(wc.k_taps):
+        acc_w = None
+        for j in range(n1):
+            if k - j < 0:
+                continue
+            hit = delta == (k - j)
+            acc_w = jnp.where(hit, wx[j],
+                              0.0 if acc_w is None else acc_w)
+        wk.append(acc_w if acc_w is not None
+                  else jnp.zeros((8, TILE_W), jnp.float32))
+    wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
+           for j in range(n1)]
+
+    a_f = a_fix.astype(jnp.float32) * (1.0 / A_FIX)
+    b_f = b_fix.astype(jnp.float32) * (1.0 / B_FIX)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0)
+    colb = col0 + cb0  # absolute column of candidate-block origin
+
+    # build the sheared bands: band[ch][q][cc][s, l] =
+    #   win[S(colb + 128cc + l) + 8q + s, cb0 + 128cc + l]
+    # paying the cand_r candidate cascade once per (band, lane-block)
+    bands = [[[None] * wc.cand_c for _q in range(Q)]
+             for _c in range(nch)]
+    for cc in range(wc.cand_c):
+        c_abs = (colb + 128 * cc + iota_l).astype(jnp.float32)
+        srow = jnp.floor(a_f + b_f * c_abs).astype(jnp.int32)
+        blocks = [[win_ref[ch, pl.ds(rb0 + 8 * b, 8),
+                           pl.ds(cb0 + 128 * cc, 128)]
+                   for b in range(wc.cand_r)] for ch in range(nch)]
+        for q in range(Q):
+            idx = jnp.clip(srow + (8 * q) + iota_s - rb0,
+                           0, 8 * wc.cand_r - 1)
+            rr_b = idx & 7
+            qb_b = idx >> 3
+            for ch in range(nch):
+                v = jnp.take_along_axis(blocks[ch][0], rr_b, axis=0)
+                for b in range(1, wc.cand_r):
+                    g = jnp.take_along_axis(blocks[ch][b], rr_b,
+                                            axis=0)
+                    v = jnp.where(qb_b == b, g, v)
+                bands[ch][q][cc] = v
+
+    accs = [jnp.zeros((8, TILE_W), jnp.float32) for _ in range(nch)]
+    for k in range(wc.k_taps):
+        cxi = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
+        qc = cxi >> 7
+        rc = cxi & 127
+        ct_abs = (colb + cxi).astype(jnp.float32)
+        s_tap = jnp.floor(a_f + b_f * ct_abs).astype(jnp.int32)
+        r0 = by - s_tap
+        # column resolve per (channel, band): the shear is a function
+        # of the source column, so the sublane-constant column gather
+        # carries the correct row field along with the value
+        cbs = []
+        for ch in range(nch):
+            per_q = []
+            for q in range(Q):
+                v = jnp.take_along_axis(bands[ch][q][0], rc, axis=1)
+                for cc in range(1, wc.cand_c):
+                    g = jnp.take_along_axis(bands[ch][q][cc], rc,
+                                            axis=1)
+                    v = jnp.where(qc == cc, g, v)
+                per_q.append(v)
+            cbs.append(per_q)
+        for j in range(n1):
+            r = jnp.clip(r0 + j, 0, 8 * Q - 1)
+            rr_j = r & 7
+            qb_j = r >> 3
+            for ch in range(nch):
+                v = jnp.take_along_axis(cbs[ch][0], rr_j, axis=0)
+                for q in range(1, Q):
+                    g = jnp.take_along_axis(cbs[ch][q], rr_j, axis=0)
+                    v = jnp.where(qb_j == q, g, v)
+                accs[ch] = accs[ch] + wjk[j][k] * v
     return accs
 
 
@@ -386,14 +537,22 @@ def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
     def row_body(r, _):
         sx = sx_ref[pl.ds(r * 8, 8), :] - oxf
         sy = sy_ref[pl.ds(r * 8, 8), :] - oyf
-        rb0 = cb0 = None
-        if ext:
-            rb0 = pl.multiple_of(
-                tiles_ref[t * stride + TILE_ROW_INTS + 2 * r], 8)
-            cb0 = pl.multiple_of(
-                tiles_ref[t * stride + TILE_ROW_INTS + 2 * r + 1], 128)
-        accs = _eval_row_block(sx, sy, win, degree=degree, wc=wc,
-                               nch=nch, rb0=rb0, cb0=cb0)
+        if wc.shear_q:
+            base = t * stride + TILE_ROW_INTS + 4 * r
+            accs = _eval_row_block_sheared(
+                sx, sy, win, degree=degree, wc=wc, nch=nch,
+                rb0=pl.multiple_of(tiles_ref[base], 8),
+                cb0=pl.multiple_of(tiles_ref[base + 1], 128),
+                a_fix=tiles_ref[base + 2], b_fix=tiles_ref[base + 3],
+                col0=tiles_ref[t * stride + 5])
+        else:
+            rb0 = cb0 = None
+            if ext:
+                base = t * stride + TILE_ROW_INTS + 2 * r
+                rb0 = pl.multiple_of(tiles_ref[base], 8)
+                cb0 = pl.multiple_of(tiles_ref[base + 1], 128)
+            accs = _eval_row_block(sx, sy, win, degree=degree, wc=wc,
+                                   nch=nch, rb0=rb0, cb0=cb0)
         for ch in range(nch):
             out_ref[ch, pl.ds(r * 8, 8), :] = accs[ch]
         return _
@@ -432,6 +591,9 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
     bf16 = coeff.dtype == jnp.bfloat16
     dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
     nt, stride = tiles.shape
+    if wc.shear_q:
+        assert stride == TILE_ROW_INTS_SHEAR, \
+            "sheared classes need row_block_shear extended tile rows"
 
     scratch = [
         pltpu.VMEM(((2,) if dbuf else ()) +
@@ -840,6 +1002,48 @@ def tile_stats_range(sx_lo, sx_hi, sy_lo, sy_hi):
             jnp.max(v(sx_hi), axis=(1, 3)), drift)
 
 
+@functools.partial(jax.jit, static_argnames=("degree",))
+def tile_stats_fit(sx: jnp.ndarray, sy: jnp.ndarray, degree: int):
+    """tile_stats plus, per (8, 128) vreg, a quantized least-squares
+    linear fit of the integer tap-base row ``by`` against the tap-base
+    column ``bx`` (the shear line of the sheared window classes) and
+    the residual bounds of that fit evaluated at both horizontal tap
+    endpoints. Returns the 5 tile_stats entries followed by
+    (a_fix, b_fix, rlo, rhi) int32 arrays of vreg shape."""
+    h, w = sx.shape
+
+    def v(a):
+        return a.reshape(h // 8, 8, w // 128, 128)
+
+    vx, vy = v(sx), v(sy)
+    drift = (jnp.max(vx, axis=1) - jnp.min(vx, axis=1)).max(axis=-1)
+    base = (jnp.min(vy, axis=(1, 3)), jnp.max(vy, axis=(1, 3)),
+            jnp.min(vx, axis=(1, 3)), jnp.max(vx, axis=(1, 3)), drift)
+
+    off = degree // 2
+    half = 0.0 if degree % 2 else 0.5
+    by = jnp.floor(vy + half) - off
+    bx = jnp.floor(vx + half) - off
+    mx = bx.mean(axis=(1, 3), keepdims=True)
+    my = by.mean(axis=(1, 3), keepdims=True)
+    var = ((bx - mx) ** 2).mean(axis=(1, 3))
+    cov = ((bx - mx) * (by - my)).mean(axis=(1, 3))
+    b = jnp.where(var > 1e-3, cov / jnp.maximum(var, 1e-3), 0.0)
+    b = jnp.clip(b, -8.0, 8.0)
+    b_fix = jnp.round(b * B_FIX).astype(jnp.int32)
+    bq = b_fix.astype(jnp.float32) / B_FIX
+    a = my[..., 0, 0] - bq * mx[..., 0, 0]
+    a_fix = jnp.round(a * A_FIX).astype(jnp.int32)
+    aq = a_fix.astype(jnp.float32) / A_FIX
+    aqx = aq[:, None, :, None]
+    bqx = bq[:, None, :, None]
+    e0 = by - jnp.floor(aqx + bqx * bx)
+    e1 = by - jnp.floor(aqx + bqx * (bx + degree))
+    rlo = jnp.minimum(e0, e1).min(axis=(1, 3)).astype(jnp.int32)
+    rhi = jnp.maximum(e0, e1).max(axis=(1, 3)).astype(jnp.int32)
+    return base + (a_fix, b_fix, rlo, rhi)
+
+
 @jax.jit
 def tile_stats(sx: jnp.ndarray, sy: jnp.ndarray):
     """Per-vreg (8x128) statistics needed by classify_tiles."""
@@ -857,7 +1061,8 @@ def classify_tiles(stats, hp: int, wp: int, degree: int,
     """Host-side: per-tile window origins + fast mask. A tile is fast
     when its tap footprint fits one window and every vreg fits the
     class budgets (row candidates, lane candidates, tap columns)."""
-    min_y, max_y, min_x, max_x, drift = [np.asarray(s) for s in stats]
+    min_y, max_y, min_x, max_x, drift = [np.asarray(s)
+                                         for s in stats[:5]]
     hp, wp = aligned_dims(hp, wp, wc)  # match the wrapper's padding
     nvy, nvx = min_y.shape
     nty, ntx = nvy // (TILE_H // 8), nvx // (TILE_W // 128)
@@ -889,6 +1094,14 @@ def classify_tiles(stats, hp: int, wp: int, degree: int,
     vreg_ok = (span_y < 8 * wc.cand_r - degree) \
         & (span_x < 128 * wc.cand_c) \
         & (np.floor(drift) + degree + 2 <= wc.k_taps)
+    if wc.shear_q:
+        # residual of the quantized shear fit must fit the bands,
+        # with a 1-row margin each side for float wobble in the two
+        # floor() evaluations (classifier XLA vs kernel Mosaic)
+        assert len(stats) >= 9, "sheared class needs tile_stats_fit"
+        rlo = np.asarray(stats[7])
+        rhi = np.asarray(stats[8])
+        vreg_ok &= (rhi - rlo) <= 8 * wc.shear_q - degree - 3
     t_vreg_ok = tile_view(vreg_ok).all(axis=(1, 3))
 
     fast = fits & t_vreg_ok
@@ -905,7 +1118,7 @@ def row_block_origins(stats, tiles: np.ndarray, degree: int,
     the classifier ran on - identical float32 values, so the results
     are bit-equal to the in-kernel reductions. Returns int32
     (nt, 2 * NRB) to append to the tile rows."""
-    min_y, _may, min_x, _max, _d = [np.asarray(s) for s in stats]
+    min_y, _may, min_x, _max, _d = [np.asarray(s) for s in stats[:5]]
     off = degree // 2
     # integer tap bases per vreg: floor for odd degrees, round for even
     # (matching _split); floor is monotone so the vreg min commutes
@@ -924,4 +1137,30 @@ def row_block_origins(stats, tiles: np.ndarray, degree: int,
                   wc.win_w - 128 * wc.cand_c)
     out[:, 0::2] = rb0
     out[:, 1::2] = cb0
+    return out
+
+
+def row_block_shear(stats, tiles: np.ndarray, degree: int,
+                    wc: WindowClass) -> np.ndarray:
+    """Per-row-block parameters for a sheared window class: the
+    (rb0, cb0) candidate origins of row_block_origins interleaved with
+    the fixed-point shear line (a_fix, b_fix) from tile_stats_fit.
+    ``a_fix`` ships with the residual shift ``rlo - 1 - oy`` folded in
+    (integer in the 1/A_FIX fixed point, so the shift is exact), which
+    lands every used residual in [0, 8*shear_q). Returns int32
+    (nt, 4 * NRB)."""
+    rbcb = row_block_origins(stats, tiles, degree, wc)
+    a_fix, b_fix, rlo = [np.asarray(s) for s in (stats[5], stats[6],
+                                                 stats[7])]
+    nt = tiles.shape[0]
+    vr = tiles[:, 0:1] * NRB + np.arange(NRB)[None, :]   # (nt, NRB)
+    vc = tiles[:, 1:2]                                   # (nt, 1)
+    oy = tiles[:, 4:5].astype(np.int64)
+    a_ship = (a_fix[vr, vc].astype(np.int64)
+              + (rlo[vr, vc].astype(np.int64) - 1 - oy) * A_FIX)
+    out = np.empty((nt, 4 * NRB), np.int32)
+    out[:, 0::4] = rbcb[:, 0::2]
+    out[:, 1::4] = rbcb[:, 1::2]
+    out[:, 2::4] = a_ship
+    out[:, 3::4] = b_fix[vr, vc]
     return out

@@ -63,9 +63,22 @@ from ..ops import spline as S
 PITCH_BASIS = rotation_rpy(0.0, math.pi / 2, 0.0)
 
 # window classes tried per tile, cheapest first (per-tile kernel cost
-# grows with the candidate budgets; DIAG is the global last resort)
-DEFAULT_CLASSES = (PR.TIGHT, PR.ROWS4, PR.ALIGNED, PR.MID, PR.ROWS6,
-                   PR.LOCAL, PR.MINIFY, PR.DIAG)
+# grows with the candidate budgets; DIAG is the global last resort).
+# Sheared classes precede the unsheared siblings they shadow: same
+# coverage budgets at ~1.5-4x lower gather cost; tiles whose shear
+# residual busts the band budget (strong curvature) fall through to
+# the unsheared sibling.
+DEFAULT_CLASSES = (PR.SHEAR4, PR.SHEAR6, PR.TIGHT, PR.SHEAR_MID,
+                   PR.ROWS4, PR.SHEAR6_3, PR.ALIGNED,
+                   PR.SHEAR_LOCAL, PR.MID, PR.ROWS6,
+                   PR.SHEAR_MINIFY, PR.SHEAR_LOCAL_3, PR.LOCAL,
+                   PR.SHEAR_DIAG, PR.MINIFY, PR.DIAG)
+
+# the twined kernel resolves taps against per-row-block candidate
+# origins shared across taps; sheared classes are not plumbed through
+# it yet, so spread classification uses the unsheared ladder
+TWINE_CLASSES = (PR.TIGHT, PR.ROWS4, PR.ALIGNED, PR.MID, PR.ROWS6,
+                 PR.LOCAL, PR.MINIFY, PR.DIAG)
 
 
 def _round_up(x, m):
@@ -263,8 +276,9 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
     # burn a DIAG pass on the original parametrization
     exact = [n for n in names if not n.startswith("pitched")]
     approx = [n for n in names if n.startswith("pitched")]
-    cheap = [wc for wc in classes if wc != PR.DIAG]
-    last = [wc for wc in classes if wc == PR.DIAG]
+    cheap = [wc for wc in classes
+             if wc not in (PR.SHEAR_DIAG, PR.DIAG)]
+    last = [wc for wc in classes if wc in (PR.SHEAR_DIAG, PR.DIAG)]
     order = ([(wc, n) for wc in cheap for n in exact]
              + [(wc, n) for wc in cheap for n in approx]
              + [(wc, n) for wc in last for n in names])
@@ -272,6 +286,8 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
     passes = []
     stats_cache = {}
     for wc, name in order:
+        if wc.shear_q and spread is not None:
+            continue  # sheared classes serve the untwined path only
         rem = assigned == -1
         if not rem.any():
             break
@@ -284,7 +300,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
             if spread is None:
                 sx, sy, _m, _z = _coords(geom, bwin, name, src, fi,
                                          (0.0, 0.0), basis)
-                raw = PR.tile_stats(sx, sy)
+                raw = PR.tile_stats_fit(sx, sy, spl.degree)
             else:
                 c0 = _coords(geom, bwin, name, src, fi, (0.0, 0.0),
                              basis)
@@ -317,7 +333,12 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
                  org[:, 0], org[:, 1]]).astype(np.int32)
             # extended rows: per-row-block candidate origins, so the
             # kernel skips its serializing cross-lane reductions
-            ext = PR.row_block_origins(stats, tiles, spl.degree, wc)
+            # (sheared classes add the fixed-point shear line)
+            if wc.shear_q:
+                ext = PR.row_block_shear(stats, tiles, spl.degree, wc)
+            else:
+                ext = PR.row_block_origins(stats, tiles, spl.degree,
+                                           wc)
             tiles = np.concatenate([tiles, ext], axis=1)
             passes.append((name, wc, box, tiles))
     return passes, assigned
@@ -407,7 +428,8 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
             if spread is None:
                 canvas = PR.resample_planar_into(
                     canvas, st["coeffs"][name], sx + eps, sy,
-                    st["tiles"][pi], degree=degree, wc=wc)
+                    st["tiles"][pi], degree=degree, wc=wc,
+                    unroll=(wc not in (PR.DIAG, PR.SHEAR4)))
             else:
                 c10 = _coords(geom, bwin, name, st["src"], fi,
                               (ST.DERIV_BIAS, 0.0), st["basis"])

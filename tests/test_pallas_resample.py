@@ -292,3 +292,71 @@ def test_resample_into_bf16_coefficients():
                                   interpret=True)
     out = np.moveaxis(np.asarray(out), 0, -1)
     np.testing.assert_allclose(out, ref, atol=6e-3)
+
+
+def _shear_tiles(stats, nty, ntx, degree, wc, hp, wp):
+    origins, fast = PR.classify_tiles(stats, hp, wp, degree, wc)
+    assert fast.all(), "test warp must fit the sheared class"
+    iby, ibx = np.nonzero(fast)
+    org = origins[iby * ntx + ibx]
+    tiles = np.column_stack([iby, ibx, iby, ibx,
+                             org[:, 0], org[:, 1]]).astype(np.int32)
+    ext = PR.row_block_shear(stats, tiles, degree, wc)
+    assert ext.shape == (tiles.shape[0], 4 * PR.NRB)
+    return np.concatenate([tiles, ext], axis=1)
+
+
+@pytest.mark.parametrize("degree", [1, 2, 3])
+@pytest.mark.parametrize("slope", [0.05, 0.3, -0.6],
+                         ids=["gentle", "steep", "neg"])
+def test_resample_sheared_exact(degree, slope):
+    """The sheared-window kernel is exact on warps up to strong
+    diagonals: every tap still reads its exact coefficient address;
+    the shear only re-bases the row resolve."""
+    img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
+    spl = S.make_spline(img, degree, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 128, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    sx = (80 + 0.9 * jj + 3 * np.sin(ii / 60)).astype(np.float32)
+    sy = ((170 if slope < 0 else 90) + 0.8 * ii + slope * jj
+          + 1.5 * np.sin(jj / 90)).astype(np.float32)
+    ref = S.eval_spline(spl, jnp.asarray(sx), jnp.asarray(sy),
+                        apply_gate=False)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    if slope < 0:
+        wc = PR.SHEAR_DIAG          # 77-row lane span needs r17
+    elif slope > 0.1:
+        wc = PR.SHEAR_LOCAL_3
+    else:
+        wc = PR.SHEAR4
+    stats = [np.asarray(s)
+             for s in PR.tile_stats_fit(px, py, degree)]
+    nty, ntx = H // PR.TILE_H, W // PR.TILE_W
+    tiles = _shear_tiles(stats, nty, ntx, degree, wc,
+                         coeffp.shape[1], coeffp.shape[2])
+    canvas = jnp.zeros((coeffp.shape[0], H, W), jnp.float32)
+    out = PR.resample_planar_into(canvas, coeffp, px, py,
+                                  jnp.asarray(tiles), degree=degree,
+                                  wc=wc, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
+
+
+def test_shear_classifier_rejects_curvature():
+    """Tiles whose warp curves more than the band budget must be
+    rejected by the sheared class (they fall to unsheared siblings)."""
+    H, W = 128, 128
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    px = jnp.asarray((100 + 0.9 * jj).astype(np.float32))
+    # high-frequency wiggle a linear fit cannot capture: residual
+    # busts the Q=2 band budget while the raw span fits cand_r=4
+    py = jnp.asarray((200 + 0.8 * ii
+                      + 8 * np.sin(jj / 3.0)).astype(np.float32))
+    stats = [np.asarray(s) for s in PR.tile_stats_fit(px, py, 3)]
+    _o, fast = PR.classify_tiles(stats, 2048, 2048, 3, PR.SHEAR4)
+    assert not fast.any()
+    # the same tiles classify fine for an unsheared class
+    _o2, fast2 = PR.classify_tiles(stats, 2048, 2048, 3, PR.ROWS6)
+    assert fast2.all()

@@ -47,8 +47,9 @@ def make_case(nty=8, ntx=8, nt=None):
 
 def check_correct(coeff, sx, sy, tiles):
     canvas = jnp.zeros((3, sx.shape[0], sx.shape[1]), jnp.float32)
-    for wc in (PR.TIGHT, PR.LOCAL):
-        out = PR.resample_planar_into(canvas, coeff, sx, sy, tiles,
+    for wc in (PR.TIGHT, PR.LOCAL, PR.SHEAR4, PR.SHEAR_LOCAL_3):
+        t = _extend(tiles, sx, sy, wc) if wc.shear_q else tiles
+        out = PR.resample_planar_into(canvas, coeff, sx, sy, t,
                                       degree=DEG, wc=wc)
         spl = S.Spline2D(coeff=jnp.moveaxis(coeff, 0, -1), pad=0,
                          degree=DEG, bcs=(S.CONSTANT, S.CONSTANT),
@@ -61,8 +62,11 @@ def check_correct(coeff, sx, sy, tiles):
 
 
 def _extend(tiles, sx, sy, wc):
-    stats = [np.asarray(s) for s in PR.tile_stats(sx, sy)]
-    ext = PR.row_block_origins(stats, np.asarray(tiles), DEG, wc)
+    stats = [np.asarray(s) for s in PR.tile_stats_fit(sx, sy, DEG)]
+    if wc.shear_q:
+        ext = PR.row_block_shear(stats, np.asarray(tiles), DEG, wc)
+    else:
+        ext = PR.row_block_origins(stats, np.asarray(tiles), DEG, wc)
     return jnp.asarray(np.concatenate([np.asarray(tiles), ext], 1))
 
 
@@ -102,8 +106,10 @@ def main():
     # timing on a larger grid for steady state
     coeff, sx, sy, tiles = make_case(8, 8, nt=512)
     print("per-class cost (512 tiles):", flush=True)
-    for wc in (PR.TIGHT, PR.ROWS4, PR.ROWS6, PR.MID, PR.LOCAL,
-               PR.MINIFY, PR.DIAG):
+    for wc in (PR.SHEAR4, PR.SHEAR6, PR.SHEAR6_3, PR.SHEAR_MID,
+               PR.SHEAR_LOCAL, PR.SHEAR_LOCAL_3, PR.SHEAR_MINIFY,
+               PR.SHEAR_DIAG, PR.TIGHT, PR.ROWS4, PR.ROWS6,
+               PR.MID, PR.LOCAL, PR.MINIFY, PR.DIAG):
         for unroll in (False, True):
             time_class(coeff, sx, sy, tiles, wc, unroll)
 
