@@ -173,32 +173,14 @@ def main():
     args5, plan5 = make_plan(facets[0], Projection.SPHERICAL, 4096,
                              2048, 360, 3, facets=facets, solo=-1)
     window5 = (0, 2048, 0, 4096)
-    geom5 = FP._geom_static(plan5)
-    fns, states, fracs = [], [], []
-    for fi, s in enumerate(srcs):
-        fn, st, assigned, _p = FP.fused_frame(plan5, s, window5, fi=fi)
-        fns.append(fn)
-        states.append(st)
-        n_cov = int((assigned != FP.ZERO_PASS).sum())
-        fracs.append((assigned >= 0).sum() / max(n_cov, 1))
-
-    def frame5(sts, eps):
-        pxs, masks, scores = [], [], []
-        for fi in range(3):
-            img = fns[fi](sts[fi], eps)
-            _sx, _sy, m, z = FP._coords(geom5, window5, "orig",
-                                        sts[fi]["src"], fi, (0.0, 0.0),
-                                        sts[fi]["basis"])
-            pxs.append(img)
-            masks.append(m)
-            scores.append(jnp.where(
-                m, z * srcs[fi].static.recip_step,
-                float(np.finfo(np.float32).min)))
-        return SYN.voronoi_stack(jnp.stack(pxs), jnp.stack(masks),
-                                 jnp.stack(scores))
+    frame5, states, assigneds, _pl = FP.fused_multi_frame(
+        plan5, srcs, window5)
+    fracs = [(a >= 0).sum() / max(int((a != FP.ZERO_PASS).sum()), 1)
+             for a in assigneds]
 
     mpix = _timeit_frame(frame5, (tuple(states),), 4096 * 2048)
-    _report("3-facet voronoi stitch -> 4096x2048 equirect deg-3", mpix,
+    _report("3-facet voronoi stitch -> 4096x2048 equirect deg-3 "
+            "(one-jit frame)", mpix,
             f">= {min(fracs):.0%} covered tiles fused per facet")
 
 

@@ -110,6 +110,11 @@ MINIFY = WindowClass(win_h=512, win_w=896, cand_r=8, cand_c=6, k_taps=6)
 # diagonal warps (e.g. 90-degree-pitched equirect re-parametrization):
 # ~8x the per-tile cost, used for per-asset preprocessing builds
 DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3, k_taps=16)
+# steep minified corners (low drift, huge row span + curvature):
+# higher-res facets stitched into a pano swing wildly near their
+# corners; single-buffered window (6.6MB), used for a handful of tiles
+STEEP = WindowClass(win_h=640, win_w=896, cand_r=22, cand_c=4,
+                    k_taps=6)
 
 # sheared siblings: same windows/coverage budgets as the classes they
 # shadow, plus the residual-fits-in-8*Q criterion; admitted tiles cost
@@ -262,25 +267,55 @@ def _eval_row_block(sx, sy, win_ref, *, degree: int, wc: WindowClass,
     return accs
 
 
-def _eval_row_block_sheared(sx, sy, win_ref, *, degree: int,
-                            wc: WindowClass, nch: int, rb0, cb0,
-                            a_fix, b_fix, col0):
-    """Sheared-window tensor-product evaluation for one (8, TILE_W)
-    vreg row-block (see WindowClass.shear_q). ``sx``/``sy`` are
-    window-relative; ``col0`` is the window origin's absolute (padded
-    array) column, so the shear line ``S(c) = floor(a + b*c)`` is
-    evaluated in the same absolute column coordinates the classifier
-    fitted it in. ``a_fix`` carries the classifier's residual shift
-    (rlo - 1 - oy folded in), so residuals land in [0, 8*shear_q).
+def _shear_bands(win_ref, *, degree: int, wc: WindowClass, nch: int,
+                 rb0, cb0, a_fix, b_fix, col0):
+    """Build the sheared 8-row bands for one row-block:
+    ``band[ch][q][cc][s, l] = win[S(colb + 128cc + l) + 8q + s,
+    cb0 + 128cc + l]`` with ``S(c) = floor(a + b*c)`` - paying the
+    cand_r candidate cascade once per (band, lane-block) instead of
+    per (tap, channel). The bands are tap-invariant, so the twined
+    kernel amortizes one build over all K twining taps. Returns
+    (bands, a_f, b_f)."""
+    Q = wc.shear_q
+    a_f = a_fix.astype(jnp.float32) * (1.0 / A_FIX)
+    b_f = b_fix.astype(jnp.float32) * (1.0 / B_FIX)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0)
+    colb = col0 + cb0  # absolute column of candidate-block origin
 
-    Exactness: the shear only re-bases the *row resolve* - each tap
-    still reads the coefficient at its exact (row, column) address and
-    is weighted by the exact basis weight; the classifier admits a tile
-    only if every used residual fits the band budget (with a 1-row
-    margin for float wobble in the two floor() evaluations)."""
+    bands = [[[None] * wc.cand_c for _q in range(Q)]
+             for _c in range(nch)]
+    for cc in range(wc.cand_c):
+        c_abs = (colb + 128 * cc + iota_l).astype(jnp.float32)
+        srow = jnp.floor(a_f + b_f * c_abs).astype(jnp.int32)
+        blocks = [[win_ref[ch, pl.ds(rb0 + 8 * b, 8),
+                           pl.ds(cb0 + 128 * cc, 128)]
+                   for b in range(wc.cand_r)] for ch in range(nch)]
+        for q in range(Q):
+            idx = jnp.clip(srow + (8 * q) + iota_s - rb0,
+                           0, 8 * wc.cand_r - 1)
+            rr_b = idx & 7
+            qb_b = idx >> 3
+            for ch in range(nch):
+                v = jnp.take_along_axis(blocks[ch][0], rr_b, axis=0)
+                for b in range(1, wc.cand_r):
+                    g = jnp.take_along_axis(blocks[ch][b], rr_b,
+                                            axis=0)
+                    v = jnp.where(qb_b == b, g, v)
+                bands[ch][q][cc] = v
+    return bands, a_f, b_f
+
+
+def _resolve_sheared(sx, sy, bands, a_f, b_f, *, degree: int,
+                     wc: WindowClass, nch: int, cb0, col0):
+    """Resolve one (8, TILE_W) row-block of taps against prebuilt
+    sheared bands (see _shear_bands). ``sx``/``sy`` are
+    window-relative continuous coordinates (possibly tap-deflected).
+    Returns the per-channel list of (8, TILE_W) value vregs."""
     n1 = degree + 1
     off = degree // 2
     Q = wc.shear_q
+    colb = col0 + cb0
 
     sely, ty = _split(sy, degree)
     by = sely - off
@@ -307,36 +342,6 @@ def _eval_row_block_sheared(sx, sy, win_ref, *, degree: int,
                   else jnp.zeros((8, TILE_W), jnp.float32))
     wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
            for j in range(n1)]
-
-    a_f = a_fix.astype(jnp.float32) * (1.0 / A_FIX)
-    b_f = b_fix.astype(jnp.float32) * (1.0 / B_FIX)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1)
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0)
-    colb = col0 + cb0  # absolute column of candidate-block origin
-
-    # build the sheared bands: band[ch][q][cc][s, l] =
-    #   win[S(colb + 128cc + l) + 8q + s, cb0 + 128cc + l]
-    # paying the cand_r candidate cascade once per (band, lane-block)
-    bands = [[[None] * wc.cand_c for _q in range(Q)]
-             for _c in range(nch)]
-    for cc in range(wc.cand_c):
-        c_abs = (colb + 128 * cc + iota_l).astype(jnp.float32)
-        srow = jnp.floor(a_f + b_f * c_abs).astype(jnp.int32)
-        blocks = [[win_ref[ch, pl.ds(rb0 + 8 * b, 8),
-                           pl.ds(cb0 + 128 * cc, 128)]
-                   for b in range(wc.cand_r)] for ch in range(nch)]
-        for q in range(Q):
-            idx = jnp.clip(srow + (8 * q) + iota_s - rb0,
-                           0, 8 * wc.cand_r - 1)
-            rr_b = idx & 7
-            qb_b = idx >> 3
-            for ch in range(nch):
-                v = jnp.take_along_axis(blocks[ch][0], rr_b, axis=0)
-                for b in range(1, wc.cand_r):
-                    g = jnp.take_along_axis(blocks[ch][b], rr_b,
-                                            axis=0)
-                    v = jnp.where(qb_b == b, g, v)
-                bands[ch][q][cc] = v
 
     accs = [jnp.zeros((8, TILE_W), jnp.float32) for _ in range(nch)]
     for k in range(wc.k_taps):
@@ -371,6 +376,30 @@ def _eval_row_block_sheared(sx, sy, win_ref, *, degree: int,
                     v = jnp.where(qb_j == q, g, v)
                 accs[ch] = accs[ch] + wjk[j][k] * v
     return accs
+
+
+def _eval_row_block_sheared(sx, sy, win_ref, *, degree: int,
+                            wc: WindowClass, nch: int, rb0, cb0,
+                            a_fix, b_fix, col0):
+    """Sheared-window tensor-product evaluation for one (8, TILE_W)
+    vreg row-block (see WindowClass.shear_q). ``sx``/``sy`` are
+    window-relative; ``col0`` is the window origin's absolute (padded
+    array) column, so the shear line ``S(c) = floor(a + b*c)`` is
+    evaluated in the same absolute column coordinates the classifier
+    fitted it in. ``a_fix`` carries the classifier's residual shift
+    (rlo - 1 - oy folded in), so residuals land in [0, 8*shear_q).
+
+    Exactness: the shear only re-bases the *row resolve* - each tap
+    still reads the coefficient at its exact (row, column) address and
+    is weighted by the exact basis weight; the classifier admits a tile
+    only if every used residual fits the band budget (with a 1-row
+    margin for float wobble in the two floor() evaluations)."""
+    bands, a_f, b_f = _shear_bands(win_ref, degree=degree, wc=wc,
+                                   nch=nch, rb0=rb0, cb0=cb0,
+                                   a_fix=a_fix, b_fix=b_fix,
+                                   col0=col0)
+    return _resolve_sheared(sx, sy, bands, a_f, b_f, degree=degree,
+                            wc=wc, nch=nch, cb0=cb0, col0=col0)
 
 
 def _resample_kernel(origins_ref,            # scalar prefetch (nt, 2)
@@ -710,8 +739,17 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
         duy = duy_ref[sl]
         dvx = dvx_ref[sl]
         dvy = dvy_ref[sl]
-        rb0 = cb0 = None
-        if ext:
+        rb0 = cb0 = bands = a_f = b_f = None
+        if wc.shear_q:
+            base = t * stride + TILE_ROW_INTS + 4 * r
+            rb0 = pl.multiple_of(tiles_ref[base], 8)
+            cb0 = pl.multiple_of(tiles_ref[base + 1], 128)
+            # the bands are tap-invariant: one build serves all taps
+            bands, a_f, b_f = _shear_bands(
+                win, degree=degree, wc=wc, nch=nch, rb0=rb0, cb0=cb0,
+                a_fix=tiles_ref[base + 2], b_fix=tiles_ref[base + 3],
+                col0=tiles_ref[t * stride + 5])
+        elif ext:
             rb0 = pl.multiple_of(
                 tiles_ref[t * stride + TILE_ROW_INTS + 2 * r], 8)
             cb0 = pl.multiple_of(
@@ -723,8 +761,14 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
             w_t = spread_ref[ti * 3 + 2]
             sxt = sx + cx_t * dux + cy_t * dvx
             syt = sy + cx_t * duy + cy_t * dvy
-            vals = _eval_row_block(sxt, syt, win, degree=degree,
-                                   wc=wc, nch=nch, rb0=rb0, cb0=cb0)
+            if wc.shear_q:
+                vals = _resolve_sheared(
+                    sxt, syt, bands, a_f, b_f, degree=degree, wc=wc,
+                    nch=nch, cb0=cb0, col0=tiles_ref[t * stride + 5])
+            else:
+                vals = _eval_row_block(sxt, syt, win, degree=degree,
+                                       wc=wc, nch=nch, rb0=rb0,
+                                       cb0=cb0)
             return tuple(a + w_t * v for a, v in zip(acc, vals))
 
         acc0 = tuple(jnp.zeros((8, TILE_W), jnp.float32)
@@ -752,6 +796,9 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
                         mode="edge")
         nch, hp, wp = coeff.shape
     nt, stride = tiles.shape
+    if wc.shear_q:
+        assert stride == TILE_ROW_INTS_SHEAR, \
+            "sheared classes need row_block_shear extended tile rows"
     bf16 = coeff.dtype == jnp.bfloat16
     dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
 
@@ -1042,6 +1089,32 @@ def tile_stats_fit(sx: jnp.ndarray, sy: jnp.ndarray, degree: int):
     rlo = jnp.minimum(e0, e1).min(axis=(1, 3)).astype(jnp.int32)
     rhi = jnp.maximum(e0, e1).max(axis=(1, 3)).astype(jnp.int32)
     return base + (a_fix, b_fix, rlo, rhi)
+
+
+@functools.partial(jax.jit, static_argnames=("degree",))
+def tile_stats_fit_range(sx, sy, mx, my, degree: int):
+    """tile_stats_range plus the shear fit of tile_stats_fit, for the
+    twined kernel: range stats cover the full per-pixel tap footprint
+    [c - margin, c + margin], the fit is computed on the center
+    coordinates and its residual bounds widened by the per-vreg margin
+    maxima (rows: my; columns: mx scaled by the fitted slope) plus the
+    floor rounding slack - so every deflected tap's residual is
+    guaranteed inside the shipped bands."""
+    rng = tile_stats_range(sx - mx, sx + mx, sy - my, sy + my)
+    fit = tile_stats_fit(sx, sy, degree)
+    h, w = sx.shape
+
+    def v(a):
+        return a.reshape(h // 8, 8, w // 128, 128)
+
+    mxv = jnp.max(v(mx), axis=(1, 3))
+    myv = jnp.max(v(my), axis=(1, 3))
+    a_fix, b_fix, rlo, rhi = fit[5], fit[6], fit[7], fit[8]
+    bq = jnp.abs(b_fix.astype(jnp.float32)) / B_FIX
+    # deflection moves the row base by up to floor(my)+1 and the tap
+    # column by up to floor(mx)+1 (each its own floor)
+    slack = jnp.ceil(myv + bq * (mxv + 1.0)).astype(jnp.int32) + 2
+    return rng + (a_fix, b_fix, rlo - slack, rhi + slack)
 
 
 @jax.jit

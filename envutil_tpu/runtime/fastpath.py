@@ -72,13 +72,8 @@ DEFAULT_CLASSES = (PR.SHEAR4, PR.SHEAR6, PR.TIGHT, PR.SHEAR_MID,
                    PR.ROWS4, PR.SHEAR6_3, PR.ALIGNED,
                    PR.SHEAR_LOCAL, PR.MID, PR.ROWS6,
                    PR.SHEAR_MINIFY, PR.SHEAR_LOCAL_3, PR.LOCAL,
-                   PR.SHEAR_DIAG, PR.MINIFY, PR.DIAG)
+                   PR.SHEAR_DIAG, PR.MINIFY, PR.STEEP, PR.DIAG)
 
-# the twined kernel resolves taps against per-row-block candidate
-# origins shared across taps; sheared classes are not plumbed through
-# it yet, so spread classification uses the unsheared ladder
-TWINE_CLASSES = (PR.TIGHT, PR.ROWS4, PR.ALIGNED, PR.MID, PR.ROWS6,
-                 PR.LOCAL, PR.MINIFY, PR.DIAG)
 
 
 def _round_up(x, m):
@@ -276,9 +271,9 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
     # burn a DIAG pass on the original parametrization
     exact = [n for n in names if not n.startswith("pitched")]
     approx = [n for n in names if n.startswith("pitched")]
-    cheap = [wc for wc in classes
-             if wc not in (PR.SHEAR_DIAG, PR.DIAG)]
-    last = [wc for wc in classes if wc in (PR.SHEAR_DIAG, PR.DIAG)]
+    _last_resort = (PR.SHEAR_DIAG, PR.STEEP, PR.DIAG)
+    cheap = [wc for wc in classes if wc not in _last_resort]
+    last = [wc for wc in classes if wc in _last_resort]
     order = ([(wc, n) for wc in cheap for n in exact]
              + [(wc, n) for wc in cheap for n in approx]
              + [(wc, n) for wc in last for n in names])
@@ -286,8 +281,6 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
     passes = []
     stats_cache = {}
     for wc, name in order:
-        if wc.shear_q and spread is not None:
-            continue  # sheared classes serve the untwined path only
         rem = assigned == -1
         if not rem.any():
             break
@@ -314,8 +307,8 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
                 cmy = max(abs(c[1]) for c in spread)
                 mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
                 my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
-                raw = PR.tile_stats_range(c0[0] - mx, c0[0] + mx,
-                                          c0[1] - my, c0[1] + my)
+                raw = PR.tile_stats_fit_range(c0[0], c0[1], mx, my,
+                                              spl.degree)
             stats_cache[name, box] = [np.asarray(s) for s in raw]
         stats = stats_cache[name, box]
         bty0, bty1, btx0, btx1 = box
@@ -351,9 +344,9 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
 _FRAME_CACHE = {}
 
 
-def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
-                fi: int = 0, nch_out=None, brighten=None,
-                spread=None, pertap: bool = False):
+def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
+                   fi: int = 0, nch_out=None, brighten=None,
+                   spread=None, pertap: bool = False):
     """Build the one-jit fused frame for a solo render: per-pass
     coordinates restricted to the pass's tile bounding box, compact
     per-tile kernel grids writing into one donated canvas, and a
@@ -408,9 +401,6 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
     key = (geom, window, tuple(classes), fi, nch_out, float(brighten),
            nch_in, struct,
            tuple(spread) if spread is not None else None, pertap)
-    cached = _FRAME_CACHE.get(key)
-    if cached is not None:
-        return cached, state, assigned, passes
 
     n_taps = 0 if spread is None else (1 if pertap else len(spread))
 
@@ -456,9 +446,70 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
             img = E.apply_brighten(img, brighten)
         return img
 
-    fn = jax.jit(frame)
-    _FRAME_CACHE[key] = fn
+    return frame, state, assigned, passes, key
+
+
+def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
+                fi: int = 0, nch_out=None, brighten=None,
+                spread=None, pertap: bool = False):
+    frame, state, assigned, passes, key = _frame_builder(
+        plan, src, window, classes, fi, nch_out, brighten, spread,
+        pertap)
+    fn = _FRAME_CACHE.get(key)
+    if fn is None:
+        fn = _FRAME_CACHE[key] = jax.jit(frame)
     return fn, state, assigned, passes
+
+
+# one-jit multi-facet frames keyed on the per-facet pass structures
+_MULTI_CACHE = {}
+
+
+def fused_multi_frame(plan, sources, window, classes=DEFAULT_CLASSES):
+    """One-jit multi-facet frame: every facet's fused kernel passes,
+    its validity mask and voronoi score, and the synopsis combine in a
+    single compiled program - one device dispatch per frame instead of
+    per-facet frame + mask + combine dispatches (which dominate
+    through a remote device tunnel). The per-facet mask coordinates
+    CSE with the frame's own coordinate passes inside the one program.
+
+    Returns (fn, states, assigneds, passes_list); ``fn(states, eps)``
+    yields the combined (H, W, nch) image. Only valid when every
+    covered tile of every facet is fused (callers must check
+    ``assigneds`` and fall back otherwise)."""
+    geom = _geom_static(plan)
+    frames, states, assigneds, passes_list, keys = [], [], [], [], []
+    for fi, src in enumerate(sources):
+        frame, st, assigned, passes, key = _frame_builder(
+            plan, src, window, classes, fi=fi)
+        frames.append(frame)
+        states.append(st)
+        assigneds.append(assigned)
+        passes_list.append(passes)
+        keys.append(key)
+
+    statics = tuple(src.static for src in sources)
+
+    def combined(sts, eps):
+        pxs, masks, scores = [], [], []
+        for fi in range(len(frames)):
+            img = frames[fi](sts[fi], eps)
+            _sx, _sy, m, z = _coords(geom, window, "orig",
+                                     sts[fi]["src"], fi, (0.0, 0.0),
+                                     sts[fi]["basis"])
+            pxs.append(img)
+            masks.append(m)
+            scores.append(jnp.where(
+                m, z * statics[fi].recip_step,
+                float(np.finfo(np.float32).min)))
+        return _combine_stack(plan, sources, pxs, masks, scores)
+
+    mkey = (tuple(keys), plan.synopsis, plan.nchannels,
+            tuple(float(s.recip_step) for s in statics))
+    fn = _MULTI_CACHE.get(mkey)
+    if fn is None:
+        fn = _MULTI_CACHE[mkey] = jax.jit(combined)
+    return fn, states, assigneds, passes_list
 
 
 @jax.jit
@@ -675,6 +726,20 @@ def render_fast_multi(plan, sources, verbose: bool = False,
         return _render_fast_multi_pertap(plan, sources, window,
                                          out_h, out_w, verbose,
                                          classes)
+
+    # every covered tile fused for every facet: the whole stitch
+    # (frames + masks + scores + synopsis) is one compiled program
+    fn, states, assigneds, _pl = fused_multi_frame(plan, sources,
+                                                   window, classes)
+    if all((a != -1).all() for a in assigneds):
+        if verbose:
+            for fi, a in enumerate(assigneds):
+                print(f"fastpath(multi): facet {fi}: "
+                      f"{(a >= 0).sum()}/{a.size} tiles fused, "
+                      f"{(a == ZERO_PASS).sum()} empty (one-jit)")
+        out = fn(tuple(states), jnp.float32(0))
+        img = np.array(jax.device_get(out), np.float32)
+        return img[:out_h, :out_w]
 
     geom = _geom_static(plan)
     px_list, mask_list, score_list = [], [], []

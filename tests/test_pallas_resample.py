@@ -360,3 +360,47 @@ def test_shear_classifier_rejects_curvature():
     # the same tiles classify fine for an unsheared class
     _o2, fast2 = PR.classify_tiles(stats, 2048, 2048, 3, PR.ROWS6)
     assert fast2.all()
+
+
+def test_resample_twined_sheared():
+    """The twined kernel with a sheared class: one band build serves
+    all taps; every deflected tap matches the XLA tap loop."""
+    img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
+    spl = S.make_spline(img, 3, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 256, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    sx = (60 + 0.9 * jj + 3 * np.sin(ii / 40)).astype(np.float32)
+    sy = (40 + 0.7 * ii + 0.15 * jj
+          + 2 * np.sin(jj / 50)).astype(np.float32)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    spread = ((-0.5, -0.25, 0.3), (0.0, 0.0, 0.4), (0.5, 0.25, 0.3))
+    dux = jnp.full(px.shape, 0.6, jnp.float32)
+    duy = jnp.full(px.shape, 0.1, jnp.float32)
+    dvx = jnp.full(px.shape, -0.1, jnp.float32)
+    dvy = jnp.full(px.shape, 0.5, jnp.float32)
+    cmx = max(abs(c[0]) for c in spread)
+    cmy = max(abs(c[1]) for c in spread)
+    mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+    my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+    stats = [np.asarray(s) for s in
+             PR.tile_stats_fit_range(px, py, mx, my, 3)]
+    nty, ntx = px.shape[0] // PR.TILE_H, px.shape[1] // PR.TILE_W
+    wc = PR.SHEAR_LOCAL_3
+    tiles = _shear_tiles(stats, nty, ntx, 3, wc,
+                         coeffp.shape[1], coeffp.shape[2])
+    spread_flat = jnp.asarray(np.asarray(spread, np.float32).ravel())
+    canvas = jnp.zeros((coeffp.shape[0],) + px.shape, jnp.float32)
+    out = PR.resample_twined_into(canvas, coeffp, px, py, dux, duy,
+                                  dvx, dvy, jnp.asarray(tiles),
+                                  spread_flat, degree=3, n_taps=3,
+                                  wc=wc, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    ref = None
+    for cx, cy, wgt in spread:
+        v = S.eval_spline(spl, px + cx * dux + cy * dvx - spl.pad,
+                          py + cx * duy + cy * dvy - spl.pad,
+                          apply_gate=False)
+        ref = wgt * v if ref is None else ref + wgt * v
+    np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)

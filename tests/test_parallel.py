@@ -55,3 +55,33 @@ def test_sharded_render_matches_single_device():
     out = jax.block_until_ready(fn(srcs))
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("degree", [1, 3])
+def test_ring_spline_eval_exact(degree):
+    """Facet-sharded evaluation: coefficient row bands ring-rotated
+    over the mesh (ppermute) reproduce eval_spline exactly."""
+    import jax.numpy as jnp
+    from envutil_tpu.ops import spline as S
+    from envutil_tpu.parallel.mesh import (ring_spline_eval,
+                                           shard_spline_rows)
+
+    img = jnp.asarray(RNG.uniform(0, 1, (94, 130, 3)), np.float32)
+    spl = S.make_spline(img, degree, bcs=(S.MIRROR, S.PERIODIC))
+    H, W = 64, 128
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    # coords wander over the whole table, including out-of-range
+    # values for the gates
+    x = jnp.asarray((-20 + 1.3 * jj + 9 * np.sin(ii / 9))
+                    .astype(np.float32))
+    y = jnp.asarray((-5 + 1.6 * ii + 7 * np.cos(jj / 13))
+                    .astype(np.float32))
+    ref = S.eval_spline(spl, x, y)
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = shard_spline_rows(spl, mesh)
+    out = ring_spline_eval(sharded, x, y, mesh)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
