@@ -65,7 +65,7 @@ def main():
     from envutil_tpu.runtime.loader import _attach_variants
     from envutil_tpu.runtime.render import build_plan
 
-    def make_env_source(w, h, degree, variants=True):
+    def make_env_source(w, h, degree, variants=True, coeff="f32"):
         yy, xx = np.meshgrid(np.linspace(0, 1, h, dtype=np.float32),
                              np.linspace(0, 1, w, dtype=np.float32),
                              indexing="ij")
@@ -76,13 +76,17 @@ def main():
         fct.process_geometry()
         src = jax.device_put(E.make_mount_source(fct, img, degree,
                                                  degree))
+
+        class _A:
+            verbose = False
+            precise = False
+        _A.spline_degree = degree
+        _A.prefilter_degree = degree
+        _A.coeff_dtype = coeff
         if variants:
-            class _A:
-                verbose = False
-                precise = False
-            _A.spline_degree = degree
-            _A.prefilter_degree = degree
             _attach_variants(src, fct, _A())
+        from envutil_tpu.runtime.loader import _apply_coeff_dtype
+        _apply_coeff_dtype(src, _A())
         jax.block_until_ready(src.spl.coeff)
         return fct, src
 
@@ -151,6 +155,23 @@ def main():
     _report(f"8K equirect -> 2048x1280 rectilinear, fused twining "
             f"({len(spread)} taps)", mpix,
             f"{(assigned >= 0).mean():.0%} fused")
+
+    # ---- config 4b: TRUE 16K twining downscale (bf16 coefficients) --
+    # the BASELINE '16K -> 2K' config: bfloat16 coefficient storage
+    # keeps the four variant tables at ~3.2GB total on one chip
+    del src8
+    fct16, src16 = make_env_source(16384, 8192, 1, coeff="bf16")
+    args4b, plan4b = make_plan(fct16, Projection.RECTILINEAR, 2048,
+                               1280, 100, 1, twine=-1)
+    spread_b = tuple((bias * cx, bias * cy, w)
+                     for cx, cy, w in args4b.twine_spread)
+    frame_b, state_b, assigned_b, _p = FP.fused_frame(
+        plan4b, src16, window4, spread=spread_b)
+    mpix = _timeit_frame(frame_b, (state_b,), 2048 * 1280)
+    _report(f"16K equirect (bf16 coeff) -> 2048x1280 rectilinear, "
+            f"fused twining ({len(spread_b)} taps)", mpix,
+            f"{(assigned_b >= 0).mean():.0%} fused")
+    del src16, state_b
 
     # ---- config 5: 3-facet voronoi stitch ----------------------------
     # three rectilinear facets at different yaws, stitched into a 4K

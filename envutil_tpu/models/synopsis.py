@@ -53,23 +53,40 @@ def _eval_all(sources: List[E.FacetSource], rays, nch: int):
 
 def voronoi_stack(px, mask, score):
     """Champion select from precomputed stacks: px (NF, ..., C),
-    mask/score (NF, ...)."""
+    mask/score (NF, ...). The select is a static where-cascade over
+    the facet axis - take_along_axis would lower to XLA's serial
+    gather on TPU (~70M elem/s, 25x the cost of the whole render for
+    a 4K stitch)."""
     champion = jnp.argmax(score, axis=0)
     any_valid = jnp.any(mask, axis=0)
-    sel = jnp.take_along_axis(
-        px, champion[None, ..., None], axis=0)[0]
+    sel = px[0]
+    for f in range(1, px.shape[0]):
+        sel = jnp.where((champion == f)[..., None], px[f], sel)
     return jnp.where(any_valid[..., None], sel, 0.0)
 
 
 def voronoi_plus_stack(px, mask, score):
     """Z-ordered front-to-back associated-alpha compositing from
     precomputed stacks."""
+    # rank via argsort of the (small, static) facet axis, then select
+    # each depth layer with a where-cascade: no data gathers on TPU
     order = jnp.argsort(-score, axis=0)
-    layers = jnp.take_along_axis(px, order[..., None], axis=0)
-    valid = jnp.take_along_axis(mask, order, axis=0)
-    acc = jnp.where(valid[0][..., None], layers[0], 0.0)
-    for l in range(1, px.shape[0]):
-        contrib = jnp.where(valid[l][..., None], layers[l], 0.0)
+    nf = px.shape[0]
+
+    def layer(l):
+        sel = px[0]
+        vld = mask[0]
+        for f in range(1, nf):
+            hit = order[l] == f
+            sel = jnp.where(hit[..., None], px[f], sel)
+            vld = jnp.where(hit, mask[f], vld)
+        return sel, vld
+
+    sel0, vld0 = layer(0)
+    acc = jnp.where(vld0[..., None], sel0, 0.0)
+    for l in range(1, nf):
+        sel_l, vld_l = layer(l)
+        contrib = jnp.where(vld_l[..., None], sel_l, 0.0)
         acc = acc + (1.0 - acc[..., -1:]) * contrib
     return acc
 
