@@ -11,8 +11,8 @@ Configs (BASELINE.md):
   2. 8K equirect -> 6x2048 cubemap, degree 3 (bench.py's headline)
   3. biatan6 cubemap -> stereographic, fov>90 faces, yaw/pitch
   4. twining anti-aliased downscale: 8K equirect -> 2K rectilinear
-     (auto twine) - 16K sources exceed this chip's HBM with the
-     pole-patch copies, so the config runs at 8K
+     (auto twine), plus the true 16K source with bfloat16 coefficient
+     storage (runs first for HBM headroom)
   5. PTO-style 3-facet voronoi stitch (multi-facet fused path)
 """
 
@@ -83,9 +83,10 @@ def main():
         _A.spline_degree = degree
         _A.prefilter_degree = degree
         _A.coeff_dtype = coeff
+        from envutil_tpu.runtime.loader import _apply_coeff_dtype
+        _apply_coeff_dtype(src, _A())   # before the variant builds
         if variants:
             _attach_variants(src, fct, _A())
-        from envutil_tpu.runtime.loader import _apply_coeff_dtype
         _apply_coeff_dtype(src, _A())
         jax.block_until_ready(src.spl.coeff)
         return fct, src
@@ -110,6 +111,27 @@ def main():
         if twine:
             args.twine_setup()
         return args, build_plan(args, args.facets)
+
+    # ---- config 4b: TRUE 16K twining downscale (bf16 coefficients) --
+    # runs FIRST: the 16K build needs headroom other configs' live
+    # buffers would fragment away
+    # the BASELINE '16K -> 2K' config: bfloat16 coefficient storage
+    # keeps the four variant tables at ~3.2GB total on one chip
+    fct16, src16 = make_env_source(16384, 8192, 1, coeff="bf16")
+    window4b = (0, 1280, 0, 2048)
+    args4b, plan4b = make_plan(fct16, Projection.RECTILINEAR, 2048,
+                               1280, 100, 1, twine=-1)
+    bias = 1.0 / ST.DERIV_BIAS
+    spread_b = tuple((bias * cx, bias * cy, w)
+                     for cx, cy, w in args4b.twine_spread)
+    frame_b, state_b, assigned_b, _p = FP.fused_frame(
+        plan4b, src16, window4b, spread=spread_b)
+    mpix = _timeit_frame(frame_b, (state_b,), 2048 * 1280)
+    _report(f"16K equirect (bf16 coeff) -> 2048x1280 rectilinear, "
+            f"fused twining ({len(spread_b)} taps)", mpix,
+            f"{(assigned_b >= 0).mean():.0%} fused")
+    del src16, state_b
+
 
     # ---- config 1: 4K latlon -> HD rectilinear, bilinear ------------
     fct, src = make_env_source(4096, 2048, 1)
@@ -155,23 +177,6 @@ def main():
     _report(f"8K equirect -> 2048x1280 rectilinear, fused twining "
             f"({len(spread)} taps)", mpix,
             f"{(assigned >= 0).mean():.0%} fused")
-
-    # ---- config 4b: TRUE 16K twining downscale (bf16 coefficients) --
-    # the BASELINE '16K -> 2K' config: bfloat16 coefficient storage
-    # keeps the four variant tables at ~3.2GB total on one chip
-    del src8
-    fct16, src16 = make_env_source(16384, 8192, 1, coeff="bf16")
-    args4b, plan4b = make_plan(fct16, Projection.RECTILINEAR, 2048,
-                               1280, 100, 1, twine=-1)
-    spread_b = tuple((bias * cx, bias * cy, w)
-                     for cx, cy, w in args4b.twine_spread)
-    frame_b, state_b, assigned_b, _p = FP.fused_frame(
-        plan4b, src16, window4, spread=spread_b)
-    mpix = _timeit_frame(frame_b, (state_b,), 2048 * 1280)
-    _report(f"16K equirect (bf16 coeff) -> 2048x1280 rectilinear, "
-            f"fused twining ({len(spread_b)} taps)", mpix,
-            f"{(assigned_b >= 0).mean():.0%} fused")
-    del src16, state_b
 
     # ---- config 5: 3-facet voronoi stitch ----------------------------
     # three rectilinear facets at different yaws, stitched into a 4K

@@ -31,8 +31,11 @@ def cache_dir(args) -> Optional[pathlib.Path]:
     return pathlib.Path(d) if d else None
 
 
-def _entry_path(cdir: pathlib.Path, fct, key) -> pathlib.Path:
-    ident = [repr(key)]
+def _entry_path(cdir: pathlib.Path, fct, key, args=None) -> pathlib.Path:
+    # the stored tables carry the storage dtype (--coeff), so the
+    # entry identity must include it
+    ident = [repr(key),
+             getattr(args, "coeff_dtype", "f32") if args else "f32"]
     # file identity: a changed source invalidates the entry
     fn = fct.filename
     names = ([fn % face for face in
@@ -70,7 +73,7 @@ def load(args, fct, key):
     cdir = cache_dir(args)
     if cdir is None:
         return None
-    path = _entry_path(cdir, fct, key)
+    path = _entry_path(cdir, fct, key, args)
     if not path.exists():
         return None
     try:
@@ -91,7 +94,7 @@ def store(args, fct, key, spl, variants) -> None:
     if cdir is None or spl is None:
         return
     cdir.mkdir(parents=True, exist_ok=True)
-    path = _entry_path(cdir, fct, key)
+    path = _entry_path(cdir, fct, key, args)
     d = {"variant_names": np.array(sorted(variants))}
     _pack_spline(d, "main_", spl)
     for n, v in variants.items():

@@ -224,6 +224,33 @@ def _patch_tile(img, coeff, sx, sy, mask, origin, degree, nch_out,
     return jax.lax.dynamic_update_slice(img, tile, (oy, ox, 0))
 
 
+@functools.partial(jax.jit, static_argnames=("degree", "nch_out",
+                                             "brighten"))
+def _patch_tiles_batch(img, coeff, sx, sy, mask, origins, degree,
+                       nch_out, brighten):
+    """Overwrite all listed (TILE_H, TILE_W) tiles of the finished
+    device image with the exact XLA evaluation - one compiled scan
+    (one dispatch) instead of a per-tile dispatch loop, which
+    dominates through a remote device tunnel. ``origins`` is int32
+    (nt, 2)."""
+    def body(im, oyx):
+        oy, ox = oyx[0], oyx[1]
+        tile = _eval_tile_xla(coeff, sx, sy, (oy, ox), degree)
+        m = jax.lax.dynamic_slice(mask, (oy, ox),
+                                  (PR.TILE_H, PR.TILE_W))
+        tile = _finish(jnp.moveaxis(tile, -1, 0), m, nch_out,
+                       brighten)
+        return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
+
+    img, _ = jax.lax.scan(body, img, origins)
+    return img
+
+
+def _bad_origins(bad) -> jnp.ndarray:
+    return jnp.asarray(
+        np.asarray(bad, np.int32) * np.int32((PR.TILE_H, PR.TILE_W)))
+
+
 
 def _box_window(window, box):
     """Pixel window of a tile-grid bounding box within ``window``."""
@@ -519,6 +546,33 @@ def _deriv(c0, c10, c01):
     return c10 - c0, c01 - c0
 
 
+@functools.partial(jax.jit, static_argnames=("degree", "spread",
+                                             "nch_out", "brighten",
+                                             "use_mask"))
+def _patch_tiles_batch_twined(img, coeff, sx, sy, dux, duy, dvx, dvy,
+                              mask, origins, degree, spread, nch_out,
+                              brighten, use_mask=True):
+    """Twined analogue of _patch_tiles_batch: one compiled scan over
+    the listed tile origins."""
+    def body(im, oyx):
+        oy, ox = oyx[0], oyx[1]
+        tile = _eval_tile_xla_twined(coeff, sx, sy, dux, duy, dvx,
+                                     dvy, (oy, ox), degree, spread)
+        if use_mask:
+            m = jax.lax.dynamic_slice(mask, (oy, ox),
+                                      (PR.TILE_H, PR.TILE_W))
+            tile = _finish(jnp.moveaxis(tile, -1, 0), m, nch_out,
+                           brighten)
+        else:
+            tile = E.repix(tile, nch_out)
+            if brighten != 1.0:
+                tile = E.apply_brighten(tile, brighten)
+        return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
+
+    img, _ = jax.lax.scan(body, img, origins)
+    return img
+
+
 @functools.partial(jax.jit, static_argnames=("degree", "spread"))
 def _eval_tile_xla_twined(coeff, sx, sy, dux, duy, dvx, dvy, origin,
                           degree, spread):
@@ -599,18 +653,10 @@ def render_fast_twined(plan, sources, verbose: bool = False,
         sx, sy, mask = c0[0], c0[1], c0[2]
         dux, dvx = _deriv(sx, c10[0], c01[0])
         duy, dvy = _deriv(sy, c10[1], c01[1])
-        for ti, tj in bad:
-            oy, ox = int(ti) * PR.TILE_H, int(tj) * PR.TILE_W
-            tile = _eval_tile_xla_twined(
-                src.spl.coeff, sx, sy, dux, duy, dvx, dvy,
-                (jnp.int32(oy), jnp.int32(ox)), src.spl.degree,
-                spread)
-            m = jax.lax.dynamic_slice(mask, (oy, ox),
-                                      (PR.TILE_H, PR.TILE_W))
-            tile = _finish(jnp.moveaxis(tile, -1, 0), m,
-                           plan.nchannels, src.static.brighten)
-            combined = jax.lax.dynamic_update_slice(
-                combined, tile, (oy, ox, 0))
+        combined = _patch_tiles_batch_twined(
+            combined, src.spl.coeff, sx, sy, dux, duy, dvx, dvy,
+            mask, _bad_origins(bad), src.spl.degree, spread,
+            plan.nchannels, src.static.brighten)
 
     img = np.array(jax.device_get(combined), np.float32)
     return img[:out_h, :out_w]
@@ -665,13 +711,10 @@ def render_fast(plan, sources, render_window_fn=None,
         basis = _basis_arg(plan, 0)
         sx0, sy0, mask0, _z = _coords(geom, window, "orig", src, 0,
                                       (0.0, 0.0), basis)
-        for ti, tj in bad:
-            oy, ox = int(ti) * PR.TILE_H, int(tj) * PR.TILE_W
-            combined = _patch_tile(combined, src.spl.coeff, sx0, sy0,
-                                   mask0,
-                                   (jnp.int32(oy), jnp.int32(ox)),
-                                   src.spl.degree, plan.nchannels,
-                                   src.static.brighten)
+        combined = _patch_tiles_batch(
+            combined, src.spl.coeff, sx0, sy0, mask0,
+            _bad_origins(bad), src.spl.degree, plan.nchannels,
+            src.static.brighten)
     img = np.array(jax.device_get(combined), np.float32)
     return img[:out_h, :out_w]
 
@@ -761,15 +804,14 @@ def render_fast_multi(plan, sources, verbose: bool = False,
         else:
             img_f = jnp.zeros((ph, pw, plan.nchannels), jnp.float32)
         bad = np.argwhere(assigned == -1)
-        if bad.size and verbose:
-            print(f"fastpath(multi): facet {fi}: {len(bad)} tiles via "
-                  f"XLA fallback")
-        for ti, tj in bad:
-            oy = jnp.int32(int(ti) * PR.TILE_H)
-            ox = jnp.int32(int(tj) * PR.TILE_W)
-            img_f = _patch_tile(
-                img_f, src.spl.coeff, _sx0, _sy0, mask, (oy, ox),
-                src.spl.degree, plan.nchannels, src.static.brighten)
+        if bad.size:
+            if verbose:
+                print(f"fastpath(multi): facet {fi}: {len(bad)} "
+                      f"tiles via XLA fallback")
+            img_f = _patch_tiles_batch(
+                img_f, src.spl.coeff, _sx0, _sy0, mask,
+                _bad_origins(bad), src.spl.degree, plan.nchannels,
+                src.static.brighten)
         px_list.append(img_f)
         mask_list.append(mask)
         score_list.append(jnp.where(
@@ -851,19 +893,13 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
                 geom, window, src, fi,
                 jnp.asarray([cx * ST.DERIV_BIAS, cy * ST.DERIV_BIAS],
                             jnp.float32), basis)
-            for ti, tj in bad:
-                oy = jnp.int32(int(ti) * PR.TILE_H)
-                ox = jnp.int32(int(tj) * PR.TILE_W)
+            if len(bad):
                 sx0, sy0, dux, duy, dvx, dvy = derivs
-                tile = _eval_tile_xla_twined(
-                    src.spl.coeff, sx0, sy0, dux, duy, dvx, dvy,
-                    (oy, ox), src.spl.degree, ((cx, cy, 1.0),))
-                tile = E.repix(tile, plan.nchannels)
-                if src.static.brighten != 1.0:
-                    tile = E.apply_brighten(tile,
-                                            src.static.brighten)
-                img_f = jax.lax.dynamic_update_slice(
-                    img_f, tile, (oy, ox, 0))
+                img_f = _patch_tiles_batch_twined(
+                    img_f, src.spl.coeff, sx0, sy0, dux, duy, dvx,
+                    dvy, None, _bad_origins(bad), src.spl.degree,
+                    ((cx, cy, 1.0),), plan.nchannels,
+                    src.static.brighten, use_mask=False)
             img_f = jnp.where(mask[..., None], img_f, 0.0)
             px_list.append(img_f)
             mask_list.append(mask)

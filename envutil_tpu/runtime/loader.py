@@ -70,9 +70,14 @@ def load_source(fct: Facet, args) -> E.FacetSource:
 
     img = _read_facet_image(fct, args)
     src = _build(fct, args, img)
-    _attach_variants(src, fct, args)
-    coeff_cache.store(args, fct, key, src.spl, src.variants)
+    # convert the base table before the variant builds: at 16K the
+    # four float32 tables plus the pitched build's intermediates
+    # exceed HBM; with bf16 applied incrementally the peak stays at
+    # one f32 table + the bf16 copies
     _apply_coeff_dtype(src, args)
+    _attach_variants(src, fct, args)
+    _apply_coeff_dtype(src, args)
+    coeff_cache.store(args, fct, key, src.spl, src.variants)
     assets.cache.add(key, (src.spl, src.variants))
     return src
 

@@ -208,3 +208,51 @@ def test_alpha_compositing_voronoi_plus():
     plan = build_plan(args, [f0, f1])
     out = render_frame(plan, [s0, s1])
     np.testing.assert_allclose(out[8, 8], [0.5, 0.5, 0.0, 1.0], atol=1e-5)
+
+
+def test_stitch_classification_covers_most_tiles():
+    """The class ladder (sheared + STEEP) must classify all but the
+    extreme facet-corner tiles of a multi-facet pano stitch (those
+    few go through the batched XLA patch scan - their local
+    minification is unbounded, so no static budget can hold them)."""
+    import math
+    from envutil_tpu.ops import pallas_resample as PR
+    from envutil_tpu.runtime import fastpath as FP
+
+    f_imgs = [RNG.uniform(0, 1, (768, 1024, 3)).astype(np.float32)
+              for _ in range(3)]
+    facets, srcs = [], []
+    for i, yaw in enumerate((-40.0, 0.0, 40.0)):
+        f = Facet(facet_no=i, nchannels=3)
+        f.set_geometry(Projection.RECTILINEAR, 1024, 768,
+                       math.radians(65))
+        f.step = get_step(Projection.RECTILINEAR, 1024, 768,
+                          math.radians(65))
+        f.yaw = math.radians(yaw)
+        f.process_geometry()
+        facets.append(f)
+        srcs.append(E.make_mount_source(f, f_imgs[i], 3, 3))
+    args = Args()
+    args.projection = Projection.SPHERICAL
+    args.width, args.height = 2048, 1024
+    args.hfov = math.radians(360)
+    args.extent = get_extent(args.projection, 2048, 1024, args.hfov)
+    args.step = (args.extent.x1 - args.extent.x0) / 2048
+    args.spline_degree = args.prefilter_degree = 3
+    args.twine = 0
+    args.synopsis = "panorama"
+    args.nchannels = 3
+    args.facets = facets
+    args.solo = -1
+    plan = build_plan(args, facets)
+    window = (0, 1024, 0, 2048)
+    for fi, src in enumerate(srcs):
+        passes, assigned = FP.plan_passes(plan, src, window,
+                                          FP.DEFAULT_CLASSES, fi=fi)
+        n_cov = int((assigned != FP.ZERO_PASS).sum())
+        n_unfused = int((assigned == -1).sum())
+        assert n_unfused <= 6, \
+            f"facet {fi}: {n_unfused}/{n_cov} tiles not classified"
+        # the STEEP last-resort class must be doing its job
+        assert any(wc is PR.STEEP for _n, wc, _b, _t in passes), \
+            f"facet {fi}: STEEP pass missing"
