@@ -99,7 +99,7 @@ def main():
 
     out = jax.block_until_ready(frame_fn(state, jnp.float32(0)))
 
-    runs = 8
+    runs = 24
 
     @jax.jit
     def loop(st):

@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def _timeit_frame(frame_fn, args, n_px, runs=6):
+def _timeit_frame(frame_fn, args, n_px, runs=24):
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +41,9 @@ def _timeit_frame(frame_fn, args, n_px, runs=6):
     t0 = time.perf_counter()
     float(loop(*args))
     dt = (time.perf_counter() - t0) / runs
+    # the experimental tunnel costs ~20-30ms per *invocation*
+    # (dispatch + scalar fetch); 24 chained frames amortize it to
+    # ~1ms/frame so the number approximates the device pipeline rate
     return n_px / 1e6 / dt
 
 

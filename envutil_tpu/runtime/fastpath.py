@@ -43,6 +43,7 @@ re-parametrization.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from typing import List, Optional
@@ -78,6 +79,13 @@ DEFAULT_CLASSES = (PR.SHEAR4, PR.SHEAR6, PR.TIGHT, PR.SHEAR_MID,
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _same_geom(a, b):
+    """Same window geometry ignoring the (degree-rescaled) tap
+    budget."""
+    return ((a.win_h, a.win_w, a.cand_r, a.cand_c, a.shear_q)
+            == (b.win_h, b.win_w, b.cand_r, b.cand_c, b.shear_q))
 
 
 def eligible(plan, sources, allow_spread: bool = False) -> bool:
@@ -315,6 +323,15 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
         box = (int(ys.min()), int(ys.max()) + 1,
                int(xs.min()), int(xs.max()) + 1)
         spl = _variant_spline(src, name)
+        # the class tap budgets are sized for degree 3 (k = drift
+        # budget + 3 + 2); rescale for the actual degree - bilinear
+        # then evaluates 2 fewer tap columns per pixel, and degrees
+        # above 3 gain the columns they need instead of falling
+        # through to the huge-k last resorts
+        if spl.degree != 3:
+            wc = dataclasses.replace(
+                wc, k_taps=max(wc.k_taps + spl.degree - 3,
+                               spl.degree + 2))
         if (name, box) not in stats_cache:
             bwin = _box_window(window, box)
             if spread is None:
@@ -446,7 +463,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                 canvas = PR.resample_planar_into(
                     canvas, st["coeffs"][name], sx + eps, sy,
                     st["tiles"][pi], degree=degree, wc=wc,
-                    unroll=(wc not in (PR.DIAG, PR.SHEAR4)))
+                    unroll=not (_same_geom(wc, PR.DIAG)
+                                or _same_geom(wc, PR.SHEAR4)))
             else:
                 c10 = _coords(geom, bwin, name, st["src"], fi,
                               (ST.DERIV_BIAS, 0.0), st["basis"])
