@@ -95,7 +95,8 @@ def main():
         return fct, src
 
     def make_plan(fct, projection, w, h, hfov_deg, degree, yaw=0.0,
-                  pitch=0.0, twine=0, facets=None, solo=0):
+                  pitch=0.0, twine=0, facets=None, solo=0,
+                  synopsis="panorama"):
         args = Args()
         args.projection = projection
         args.width, args.height = w, h
@@ -107,7 +108,7 @@ def main():
         args.spline_degree = degree
         args.prefilter_degree = degree
         args.twine = twine
-        args.synopsis = "panorama"
+        args.synopsis = synopsis
         args.nchannels = 3
         args.facets = facets or [fct]
         args.solo = solo
@@ -211,6 +212,87 @@ def main():
     _report("3-facet voronoi stitch -> 4096x2048 equirect deg-3 "
             "(one-jit frame)", mpix,
             f">= {min(fracs):.0%} covered tiles fused per facet")
+    del srcs, states
+
+    # ---- config 2r: reverse direction (cubemap -> 8K equirect) ------
+    faces2 = np.stack([np.random.rand(2048, 2048, 3)
+                       .astype(np.float32) for _ in range(6)])
+    cfct2 = Facet(facet_no=0, nchannels=3)
+    cfct2.set_geometry(Projection.CUBEMAP, 2048, 6 * 2048,
+                       math.radians(90))
+    cfct2.step = get_step(Projection.CUBEMAP, 2048, 6 * 2048,
+                          math.radians(90))
+    cfct2.process_geometry()
+    csrc2 = CBM.make_cubemap_source(cfct2, faces2, 3, 3, 8, 64)
+    jax.block_until_ready(csrc2.spl.coeff)
+    _, plan2r = make_plan(cfct2, Projection.SPHERICAL, 8192, 4096,
+                          360, 3)
+    frame, state, assigned, _p = FP.fused_frame(
+        plan2r, csrc2, (0, 4096, 0, 8192))
+    mpix = _timeit_frame(frame, (state,), 8192 * 4096)
+    _report("6x2048 cubemap -> 8K equirect deg-3 (reverse headline)",
+            mpix, f"{(assigned >= 0).mean():.0%} fused")
+
+    # ---- config 3b: biatan6 -> fisheye sweep ------------------------
+    _, plan3b = make_plan(cfct, Projection.FISHEYE, 1920, 1152, 170,
+                          3, yaw=-25, pitch=15)
+    frame, state, assigned, _p = FP.fused_frame(plan3b, csrc,
+                                                (0, 1152, 0, 1920))
+    mpix = _timeit_frame(frame, (state,), 1920 * 1152)
+    _report("biatan6(fov100) -> 1920x1152 fisheye(170) deg-3 "
+            "(yaw-25/pitch15)", mpix,
+            f"{(assigned >= 0).mean():.0%} fused")
+    del csrc2, state
+
+    # ---- config 5b: 6-facet voronoi + lens correction ---------------
+    facets6, srcs6 = [], []
+    for i in range(6):
+        f = Facet(facet_no=i, nchannels=3)
+        f.set_geometry(Projection.RECTILINEAR, 1536, 1152,
+                       math.radians(72))
+        f.step = get_step(Projection.RECTILINEAR, 1536, 1152,
+                          math.radians(72))
+        f.yaw = math.radians(60.0 * i)
+        f.a, f.b, f.c = 0.01, -0.02, 0.005
+        f.process_geometry()
+        facets6.append(f)
+        img6 = np.random.rand(1152, 1536, 3).astype(np.float32)
+        srcs6.append(jax.device_put(
+            E.make_mount_source(f, img6, 3, 3)))
+    _a, plan5b = make_plan(facets6[0], Projection.SPHERICAL, 4096,
+                           2048, 360, 3, facets=facets6, solo=-1)
+    frame5b, states6, assigneds6, _pl = FP.fused_multi_frame(
+        plan5b, srcs6, (0, 2048, 0, 4096))
+    fr6 = [(a >= 0).sum() / max(int((a != FP.ZERO_PASS).sum()), 1)
+           for a in assigneds6]
+    mpix = _timeit_frame(frame5b, (tuple(states6),), 4096 * 2048)
+    _report("6-facet voronoi + lens correction -> 4096x2048 deg-3 "
+            "(one-jit)", mpix,
+            f">= {min(fr6):.0%} covered tiles fused per facet")
+    del srcs6, states6
+
+    # ---- config 5c: 3-bracket HDR merge -----------------------------
+    facets_h, srcs_h = [], []
+    for i, eev in enumerate((-2.0, 0.0, 2.0)):
+        f = Facet(facet_no=i, nchannels=3)
+        f.set_geometry(Projection.SPHERICAL, 4096, 2048, 2 * math.pi)
+        f.step = get_step(Projection.SPHERICAL, 4096, 2048,
+                          2 * math.pi)
+        f.process_geometry()
+        facets_h.append(f)
+        img_h = (np.random.rand(2048, 4096, 3).astype(np.float32)
+                 * 2.0 ** eev)
+        s = E.make_mount_source(f, img_h, 3, 3)
+        import dataclasses as _dc
+        s.static = _dc.replace(s.static, brighten=2.0 ** -eev)
+        srcs_h.append(jax.device_put(s))
+    args_h, plan_h = make_plan(facets_h[0], Projection.SPHERICAL,
+                               4096, 2048, 360, 3, facets=facets_h,
+                               solo=-1, synopsis="hdr_merge")
+    frame_h, states_h, assigneds_h, _pl = FP.fused_multi_frame(
+        plan_h, srcs_h, (0, 2048, 0, 4096))
+    mpix = _timeit_frame(frame_h, (tuple(states_h),), 4096 * 2048)
+    _report("3-bracket HDR merge -> 4096x2048 deg-3 (one-jit)", mpix)
 
 
 if __name__ == "__main__":

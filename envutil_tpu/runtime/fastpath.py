@@ -306,9 +306,26 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
     # burn a DIAG pass on the original parametrization
     exact = [n for n in names if not n.startswith("pitched")]
     approx = [n for n in names if n.startswith("pitched")]
+    # the class tap budgets are sized for degree 3 (k = drift budget
+    # + 3 + 2); for other degrees, try a degree-shifted variant of
+    # each class first (same drift budget, fewer/more tap columns -
+    # bilinear saves 2 wasted columns per pixel, degree>3 gains the
+    # columns it needs), keeping the original as the fallback for
+    # tiles that need the extra drift slack
+    degree = src.spl.degree if src.spl is not None else 3
+    if degree != 3:
+        shifted = []
+        for wc in classes:
+            k = max(wc.k_taps + degree - 3, degree + 2)
+            if k != wc.k_taps:
+                shifted.append(dataclasses.replace(wc, k_taps=k))
+            shifted.append(wc)
+        classes = tuple(shifted)
     _last_resort = (PR.SHEAR_DIAG, PR.STEEP, PR.DIAG)
-    cheap = [wc for wc in classes if wc not in _last_resort]
-    last = [wc for wc in classes if wc in _last_resort]
+    cheap = [wc for wc in classes
+             if not any(_same_geom(wc, l) for l in _last_resort)]
+    last = [wc for wc in classes
+            if any(_same_geom(wc, l) for l in _last_resort)]
     order = ([(wc, n) for wc in cheap for n in exact]
              + [(wc, n) for wc in cheap for n in approx]
              + [(wc, n) for wc in last for n in names])
@@ -323,15 +340,6 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
         box = (int(ys.min()), int(ys.max()) + 1,
                int(xs.min()), int(xs.max()) + 1)
         spl = _variant_spline(src, name)
-        # the class tap budgets are sized for degree 3 (k = drift
-        # budget + 3 + 2); rescale for the actual degree - bilinear
-        # then evaluates 2 fewer tap columns per pixel, and degrees
-        # above 3 gain the columns they need instead of falling
-        # through to the huge-k last resorts
-        if spl.degree != 3:
-            wc = dataclasses.replace(
-                wc, k_taps=max(wc.k_taps + spl.degree - 3,
-                               spl.degree + 2))
         if (name, box) not in stats_cache:
             bwin = _box_window(window, box)
             if spread is None:
