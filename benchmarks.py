@@ -6,14 +6,23 @@ device pipeline rate for one frame (chained-loop timing; host/file I/O
 excluded, matching the reference's 'frame rendering time' semantics).
 All configs run the production fused path (fastpath.fused_frame).
 
-Configs (BASELINE.md):
-  1. 4K 2:1 lat/lon -> 1920x1152 rectilinear, hfov 90, bilinear
-  2. 8K equirect -> 6x2048 cubemap, degree 3 (bench.py's headline)
-  3. biatan6 cubemap -> stereographic, fov>90 faces, yaw/pitch
-  4. twining anti-aliased downscale: 8K equirect -> 2K rectilinear
-     (auto twine), plus the true 16K source with bfloat16 coefficient
-     storage (runs first for HBM headroom)
-  5. PTO-style 3-facet voronoi stitch (multi-facet fused path)
+Configs (BASELINE.md / BASELINE.json):
+  1.  4K 2:1 lat/lon -> 1920x1152 rectilinear, hfov 90, bilinear
+  2.  8K equirect -> 6x2048 cubemap, degree 3 (bench.py's headline)
+  2r. the reverse: 6x2048 cubemap -> 8K equirect, degree 3
+  3.  biatan6 cubemap -> stereographic and fisheye, fov>90 faces,
+      yaw/pitch sweeps
+  4.  twining anti-aliased downscale: 8K equirect -> 2K rectilinear
+      (auto twine), plus the true 16K source with bfloat16
+      coefficient storage (runs first for HBM headroom)
+  5.  PTO-style stitches: 3-facet voronoi, 6-facet voronoi with PT
+      lens correction, and a 3-bracket Eev HDR merge - all through
+      the one-jit multi-facet frame
+
+Latest sweep on one TPU v5e chip (2026-08-17): 16K/16-tap 32,
+4K bilinear 852, biatan6->stereo 722, 8K/4-tap twine 334, 3-facet
+857, cubemap->equirect 569, biatan6->fisheye 721, 6-facet+lens 541,
+HDR merge 683 Mpix/s (headline 8K equirect->cubemap: 1532, bench.py).
 """
 
 import json
