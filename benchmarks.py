@@ -165,7 +165,8 @@ def main():
     cfct.step = get_step(Projection.BIATAN6, 1024, 6144,
                          math.radians(100))
     cfct.process_geometry()
-    csrc = CBM.make_cubemap_source(cfct, faces, 3, 3, 8, 64)
+    csrc = CBM.make_cubemap_source(cfct, faces, 3, 3, 128, 64)
+    csrc.variants.update(CBM.section_splines(csrc.spl, csrc.static.metrics))
     jax.block_until_ready(csrc.spl.coeff)
     _, plan3 = make_plan(cfct, Projection.STEREOGRAPHIC, 1920, 1152,
                          150, 3, yaw=35, pitch=20)
@@ -232,7 +233,8 @@ def main():
     cfct2.step = get_step(Projection.CUBEMAP, 2048, 6 * 2048,
                           math.radians(90))
     cfct2.process_geometry()
-    csrc2 = CBM.make_cubemap_source(cfct2, faces2, 3, 3, 8, 64)
+    csrc2 = CBM.make_cubemap_source(cfct2, faces2, 3, 3, 128, 64)
+    csrc2.variants.update(CBM.section_splines(csrc2.spl, csrc2.static.metrics))
     jax.block_until_ready(csrc2.spl.coeff)
     _, plan2r = make_plan(cfct2, Projection.SPHERICAL, 8192, 4096,
                           360, 3)

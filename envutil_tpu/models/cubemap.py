@@ -122,3 +122,29 @@ def make_cubemap_source(fct: Facet, faces: np.ndarray, spline_degree: int,
         nch_native=faces.shape[-1], recip_step=1.0 / fct.step,
         brighten=fct.brighten, masked=fct.masked, metrics=m)
     return FacetSource(static=static, spl=spl)
+
+
+def section_splines(spl: S.Spline2D, m) -> dict:
+    """Per-face section views of the IR spline for the fast path's
+    forced-face 'sec{i}' variants (fastpath._coords): each is a row
+    slice of the shared prefiltered IR coefficients covering one
+    section plus the spline brace. Valid pickups stay support-distance
+    inside the section (the frame guarantees it, cubemap.h:39-50), so
+    the slice's CONSTANT boundary semantics are never observed.
+
+    A face-boundary output tile mixes dominant faces, which makes its
+    IR footprint span distant sections - unwindowable. Forcing the
+    whole tile through ONE face's extended in-face parametrization
+    keeps the footprint inside that face's section; minority pixels
+    read the support frame (content re-projected from the adjoining
+    face at build time - one extra resampling, the same trade the
+    pitched pole copies make)."""
+    s = m.section_px
+    p = spl.pad
+    out = {}
+    for i in range(6):
+        coeff = spl.coeff[i * s: i * s + s + 2 * p]
+        out[f"sec{i}"] = S.Spline2D(
+            coeff=coeff, pad=p, degree=spl.degree,
+            bcs=(S.CONSTANT, S.CONSTANT), core_shape=(s, s))
+    return out

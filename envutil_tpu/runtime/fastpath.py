@@ -53,6 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import geometry as geo
+from ..core.conventions import Projection
 from ..core.rotation import rotation_rpy
 from ..models import environment as E
 from ..models import stepper as ST
@@ -104,8 +105,12 @@ def eligible(plan, sources, allow_spread: bool = False) -> bool:
 
 
 def _variant_names(src) -> List[str]:
-    return ["orig"] + [n for n in ("rolled", "pitched", "pitched_rolled")
-                       if n in src.variants]
+    names = ["orig"] + [n for n in ("rolled", "pitched",
+                                    "pitched_rolled")
+                        if n in src.variants]
+    names += [f"sec{i}" for i in range(6)
+              if f"sec{i}" in src.variants]
+    return names
 
 
 def _variant_spline(src, name):
@@ -152,6 +157,23 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
         ray = geo.apply_matrix(basis, *ray)
     ray = geo.normalize(*ray)
     ray_z = ray[2]
+    if name.startswith("sec"):
+        # forced-face section pickup: the whole tile reads one face's
+        # extended in-face parametrization (coords stay ungated - an
+        # out-of-section footprint must fail classification, not be
+        # silently clamped)
+        st = src.static
+        spl = _variant_spline(src, name)
+        m = st.metrics
+        fx, fy = geo.ray_to_cubeface_fixed(
+            *ray, jnp.int32(int(name[3:])))
+        if st.projection == Projection.BIATAN6:
+            fx = (4.0 / math.pi) * jnp.arctan(fx)
+            fy = (4.0 / math.pi) * jnp.arctan(fy)
+        sx = (fx + m.refc_md) * m.model_to_px - 0.5 + spl.pad
+        sy = (fy + m.refc_md) * m.model_to_px - 0.5 + spl.pad
+        mask = jnp.ones(ray[0].shape, dtype=bool)
+        return sx, sy, mask, ray_z
     if name.startswith("pitched"):
         ray = geo.apply_matrix(PITCH_BASIS.T, *ray)
     sx, sy, mask = E.source_spline_coords(src, ray)
@@ -304,8 +326,9 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
     # global last resort - a DIAG tile costs ~4x a LOCAL tile, so a
     # pole tile the pitched copy serves at a cheap class should never
     # burn a DIAG pass on the original parametrization
-    exact = [n for n in names if not n.startswith("pitched")]
-    approx = [n for n in names if n.startswith("pitched")]
+    exact = [n for n in names
+             if not n.startswith(("pitched", "sec"))]
+    approx = [n for n in names if n.startswith(("pitched", "sec"))]
     # the class tap budgets are sized for degree 3 (k = drift budget
     # + 3 + 2); for other degrees, try a degree-shifted variant of
     # each class first (same drift budget, fewer/more tap columns -

@@ -113,7 +113,20 @@ def _attach_variants(src: E.FacetSource, fct: Facet, args) -> None:
 
     if jax.default_backend() == "cpu":
         return
-    if src.static.kind != "mount" or src.spl is None:
+    if src.spl is None:
+        return
+    if src.static.kind == "cubemap":
+        # forced-face section variants: make face-boundary output
+        # tiles window-local (their dominant-face IR footprints span
+        # distant sections); minority pixels read the support frame -
+        # one extra resampling, so gated by --precise like the
+        # pitched copies. Raise --support_min for more absorption.
+        if not getattr(args, "precise", False):
+            from ..models import cubemap as _CBM
+            src.variants.update(
+                _CBM.section_splines(src.spl, src.static.metrics))
+        return
+    if src.static.kind != "mount":
         return
     if src.spl.bcs[1] != S.PERIODIC:
         return

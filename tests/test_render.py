@@ -256,3 +256,48 @@ def test_stitch_classification_covers_most_tiles():
         # the STEEP last-resort class must be doing its job
         assert any(wc is PR.STEEP for _n, wc, _b, _t in passes), \
             f"facet {fi}: STEEP pass missing"
+
+
+def test_cubemap_section_variants_exact():
+    """Forced-face section variants (fastpath 'sec{i}') reproduce the
+    full-IR lookup exactly for rays whose dominant face is i (shared
+    coefficients), and face-boundary tiles classify against the
+    section slice."""
+    import math
+    import jax.numpy as jnp
+    from envutil_tpu.core import geometry as geo
+    from envutil_tpu.models import cubemap as CBM
+    from envutil_tpu.ops import spline as S
+
+    faces = RNG.uniform(0, 1, (6, 64, 64, 3)).astype(np.float32)
+    fct = Facet(facet_no=0, nchannels=3)
+    fct.set_geometry(Projection.CUBEMAP, 64, 6 * 64, math.pi / 2)
+    fct.step = get_step(Projection.CUBEMAP, 64, 6 * 64, math.pi / 2)
+    fct.process_geometry()
+    src = E.make_mount_source  # unused; build cubemap directly
+    csrc = CBM.make_cubemap_source(fct, faces, 3, 3, 16, 16)
+    secs = CBM.section_splines(csrc.spl, csrc.static.metrics)
+    assert set(secs) == {f"sec{i}" for i in range(6)}
+
+    # random rays, grouped by dominant face
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=(3, 4000)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=0, keepdims=True)
+    ray = tuple(jnp.asarray(v))
+    face, fx, fy = geo.ray_to_cubeface(*ray)
+    m = csrc.static.metrics
+    cx, cy = m.get_pickup_coordinate_px(face, fx, fy)
+    full = S.eval_spline(csrc.spl, cx, cy)
+
+    for i in range(6):
+        sel = np.asarray(face) == i
+        if not sel.any():
+            continue
+        fxi, fyi = geo.ray_to_cubeface_fixed(*ray, jnp.int32(i))
+        sxi = (fxi + m.refc_md) * m.model_to_px - 0.5
+        syi = (fyi + m.refc_md) * m.model_to_px - 0.5
+        out = S.eval_spline(secs[f"sec{i}"], sxi, syi)
+        # identical taps and coefficients; the full-IR path's REFLECT
+        # gate adds ~1e-5 of in-range mod-arithmetic rounding
+        np.testing.assert_allclose(np.asarray(out)[sel],
+                                   np.asarray(full)[sel], atol=5e-4)
