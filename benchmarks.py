@@ -19,10 +19,12 @@ Configs (BASELINE.md / BASELINE.json):
       lens correction, and a 3-bracket Eev HDR merge - all through
       the one-jit multi-facet frame
 
-Latest sweep on one TPU v5e chip (2026-08-17): 16K/16-tap 32,
-4K bilinear 852, biatan6->stereo 722, 8K/4-tap twine 334, 3-facet
-857, cubemap->equirect 569, biatan6->fisheye 721, 6-facet+lens 541,
-HDR merge 683 Mpix/s (headline 8K equirect->cubemap: 1532, bench.py).
+Latest sweep on one TPU v5e chip (2026-08-17, complete frames -
+cubemap-source configs 99-100% fused via the forced-face section
+variants): 16K/16-tap 32, 4K bilinear 893, biatan6->stereo 527,
+8K/4-tap twine 338, 3-facet 859, cubemap->equirect 519,
+biatan6->fisheye 571, 6-facet+lens 542, HDR merge 685 Mpix/s
+(headline 8K equirect->cubemap: 1532, bench.py).
 """
 
 import json

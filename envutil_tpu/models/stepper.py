@@ -159,6 +159,35 @@ def _cubemap_target_rays(projection, width, height, extent, px, py,
     return geo.in_face_to_ray(face, p0, p1)
 
 
+def _separable_target_rays(projection, width, height, extent, bias,
+                           window):
+    """Spherical/cylindrical targets factor into per-axis terms
+    (ll_to_ray = outer products of sincos(lon) and sincos(lat)): the
+    transcendentals run host-side in float64 on the two 1D axes and
+    the device graph only sees broadcast multiplies - the TPU analogue
+    of the reference steppers' row-invariant sincos tricks
+    (stepper.h:520-707)."""
+    y0, y1, x0, x1 = (0, height, 0, width) if window is None \
+        else window
+    xs = planar_axis(width, extent.x0, extent.x1, bias[0],
+                     np.float64, x0, x1)
+    ys = planar_axis(height, extent.y0, extent.y1, bias[1],
+                     np.float64, y0, y1)
+    shape = (ys.size, xs.size)
+    col = lambda a: jnp.asarray(a.astype(np.float32))[None, :]
+    row = lambda a: jnp.asarray(a.astype(np.float32))[:, None]
+    if projection == Projection.SPHERICAL:
+        sl, cl = col(np.sin(xs)), col(np.cos(xs))
+        st, ct = row(np.sin(ys)), row(np.cos(ys))
+        return (jnp.broadcast_to(sl * ct, shape),
+                jnp.broadcast_to(st, shape),
+                jnp.broadcast_to(cl * ct, shape))
+    # cylindrical: (sin(az), y, cos(az))
+    return (jnp.broadcast_to(col(np.sin(xs)), shape),
+            jnp.broadcast_to(row(ys), shape),
+            jnp.broadcast_to(col(np.cos(xs)), shape))
+
+
 def target_rays(projection: Projection, width: int, height: int, extent,
                 basis: Optional[np.ndarray] = None,
                 normalize: bool = True,
@@ -172,6 +201,17 @@ def target_rays(projection: Projection, width: int, height: int, extent,
     ``planar_to_ray`` overrides the projection-based transform - the
     'generic stepper' case (stepper.h:356-490) where lens correction /
     translation chains replace the plain projection."""
+    if (planar_to_ray is None and dtype == np.float32
+            and projection in (Projection.SPHERICAL,
+                               Projection.CYLINDRICAL)
+            and all(isinstance(b, (int, float)) for b in bias)):
+        ray = _separable_target_rays(projection, width, height,
+                                     extent, bias, window)
+        if basis is not None:
+            ray = geo.apply_matrix(basis, *ray)
+        if normalize:
+            ray = geo.normalize(*ray)
+        return ray
     px, py = planar_grid(width, height, extent, bias, dtype, window)
     if planar_to_ray is not None:
         ray = planar_to_ray(px, py)
