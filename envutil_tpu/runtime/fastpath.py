@@ -165,13 +165,21 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
         st = src.static
         spl = _variant_spline(src, name)
         m = st.metrics
-        fx, fy = geo.ray_to_cubeface_fixed(
-            *ray, jnp.int32(int(name[3:])))
+        face = int(name[3:])
+        fx, fy = geo.ray_to_cubeface_fixed(*ray, jnp.int32(face))
         if st.projection == Projection.BIATAN6:
             fx = (4.0 / math.pi) * jnp.arctan(fx)
             fy = (4.0 / math.pi) * jnp.arctan(fy)
         sx = (fx + m.refc_md) * m.model_to_px - 0.5 + spl.pad
         sy = (fy + m.refc_md) * m.model_to_px - 0.5 + spl.pad
+        # central projection is 2-to-1: a ray pointing at the OPPOSITE
+        # face aliases to in-window coordinates. Poison backward rays
+        # so tiles containing any fail classification (the kernel
+        # never runs on them)
+        sign = (-1.0, 1.0, -1.0, 1.0, 1.0, -1.0)[face]
+        fwd = sign * ray[face >> 1] > 1e-6
+        sx = jnp.where(fwd, sx, 2.0e9)
+        sy = jnp.where(fwd, sy, 2.0e9)
         mask = jnp.ones(ray[0].shape, dtype=bool)
         return sx, sy, mask, ray_z
     if name.startswith("pitched"):
@@ -179,14 +187,18 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
     sx, sy, mask = E.source_spline_coords(src, ray)
     spl = _variant_spline(src, name)
     h, w = spl.core_shape
-    # variants may be oversampled copies (pole patch at 2x): rescale
-    # the pixel-center coordinates
-    rw = w / src.static.total_width
-    rh = h / src.static.total_height
-    if rw != 1.0:
-        sx = (sx + 0.5) * rw - 0.5
-    if rh != 1.0:
-        sy = (sy + 0.5) * rh - 0.5
+    # mount variants may be oversampled copies (pole patch at 2x):
+    # rescale the pixel-center coordinates. Cubemap sources are
+    # excluded: their pickup is already in IR pixels, whose core
+    # (6 sections incl. support frames) deliberately differs from the
+    # facet's nominal face raster
+    if src.static.kind != "cubemap":
+        rw = w / src.static.total_width
+        rh = h / src.static.total_height
+        if rw != 1.0:
+            sx = (sx + 0.5) * rw - 0.5
+        if rh != 1.0:
+            sy = (sy + 0.5) * rh - 0.5
     if name.endswith("rolled"):
         sx = sx + w / 2.0
     sx = S.gate(sx, spl.bcs[1], w) + spl.pad

@@ -404,3 +404,41 @@ def test_resample_twined_sheared():
                           apply_gate=False)
         ref = wgt * v if ref is None else ref + wgt * v
     np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.parametrize("degree", [5, 7])
+def test_resample_high_degree(degree):
+    """Degrees above 3 ride the degree-shifted classes (k_taps grows
+    with the degree) and stay exact."""
+    img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
+    spl = S.make_spline(img, degree, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 128, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    sx = (80 + 0.9 * jj + 2 * np.sin(ii / 60)).astype(np.float32)
+    sy = (90 + 0.8 * ii + 1.5 * np.sin(jj / 90)).astype(np.float32)
+    ref = S.eval_spline(spl, jnp.asarray(sx), jnp.asarray(sy),
+                        apply_gate=False)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    import dataclasses
+    # the degree-shifted ROWS4 sibling the planner would pick
+    wc = dataclasses.replace(PR.ROWS4,
+                             k_taps=PR.ROWS4.k_taps + degree - 3)
+    stats = [np.asarray(s) for s in PR.tile_stats_fit(px, py, degree)]
+    origins, fast = PR.classify_tiles(stats, coeffp.shape[1],
+                                      coeffp.shape[2], degree, wc)
+    assert fast.all()
+    nty, ntx = H // PR.TILE_H, W // PR.TILE_W
+    iby, ibx = np.nonzero(fast)
+    org = origins[iby * ntx + ibx]
+    tiles = np.column_stack([iby, ibx, iby, ibx,
+                             org[:, 0], org[:, 1]]).astype(np.int32)
+    ext = PR.row_block_origins(stats, tiles, degree, wc)
+    tiles = np.concatenate([tiles, ext], axis=1)
+    canvas = jnp.zeros((coeffp.shape[0], H, W), jnp.float32)
+    out = PR.resample_planar_into(canvas, coeffp, px, py,
+                                  jnp.asarray(tiles), degree=degree,
+                                  wc=wc, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-4)

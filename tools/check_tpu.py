@@ -99,8 +99,61 @@ def main():
     print(f"multi pertap fused vs XLA: PSNR {p:.1f} dB", flush=True)
     ok &= p > 55.0
 
+    check_cubemap_source()
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
+
+
+
+
+def check_cubemap_source():
+    """Cubemap/biatan6 source through the fused path (incl. the
+    forced-face section variants) vs the exact XLA graph."""
+    import jax
+    import numpy as np
+
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.core.facet import Facet
+    from envutil_tpu.core.metrics import get_extent, get_step
+    from envutil_tpu.models import cubemap as CBM
+    from envutil_tpu.runtime import fastpath
+    from envutil_tpu.runtime.args import Args
+    from envutil_tpu.runtime.render import build_plan, render_frame
+
+    rng = np.random.default_rng(5)
+    faces = np.stack([rng.uniform(0, 1, (256, 256, 3))
+                      .astype(np.float32) for _ in range(6)])
+    for proj in (Projection.CUBEMAP, Projection.BIATAN6):
+        cfct = Facet(facet_no=0, nchannels=3)
+        cfct.set_geometry(proj, 256, 6 * 256, math.pi / 2)
+        cfct.step = get_step(proj, 256, 6 * 256, math.pi / 2)
+        cfct.process_geometry()
+        csrc = CBM.make_cubemap_source(cfct, faces, 3, 3, 64, 32)
+        csrc.variants.update(
+            CBM.section_splines(csrc.spl, csrc.static.metrics))
+        args = Args()
+        args.projection = Projection.SPHERICAL
+        args.width, args.height = 1024, 512
+        args.hfov = 2 * math.pi
+        args.extent = get_extent(args.projection, 1024, 512,
+                                 args.hfov)
+        args.step = (args.extent.x1 - args.extent.x0) / 1024
+        args.spline_degree = args.prefilter_degree = 3
+        args.twine = 0
+        args.synopsis = "panorama"
+        args.nchannels = 3
+        args.facets = [cfct]
+        args.solo = 0
+        plan = build_plan(args, [cfct])
+        fused = fastpath.render_fast(plan, [csrc], verbose=True)
+        assert fused is not None, "cubemap fast path did not engage"
+        from envutil_tpu.runtime.render import _compiled_window
+        exact = np.asarray(_compiled_window(
+            plan, (0, plan.height, 0, plan.width))([csrc]))
+        p = psnr(fused, exact)
+        print(f"{proj.name} source fused vs XLA: PSNR {p:.1f} dB",
+              flush=True)
+        assert p > 50.0, f"{proj.name}: {p}"
 
 
 if __name__ == "__main__":
