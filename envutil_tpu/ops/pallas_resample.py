@@ -137,7 +137,7 @@ SHEAR_DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3,
                          k_taps=16, shear_q=3)
 
 
-def aligned_dims(hp: int, wp: int, wc: WindowClass) -> Tuple[int, int]:
+def aligned_dims(hp: int, wp: int, wc: WindowClass) -> tuple[int, int]:
     """Coefficient-array dims after alignment padding: at least one
     window, rows a multiple of 8, cols a multiple of 128, so that all
     clipped window origins stay aligned."""
@@ -1079,7 +1079,10 @@ def tile_stats_fit(sx: jnp.ndarray, sy: jnp.ndarray, degree: int):
     b = jnp.clip(b, -8.0, 8.0)
     b_fix = jnp.round(b * B_FIX).astype(jnp.int32)
     bq = b_fix.astype(jnp.float32) / B_FIX
-    a = my[..., 0, 0] - bq * mx[..., 0, 0]
+    # per-vreg centroids (axes: row-block, sublane=1, lane-block,
+    # lane=1) -> (row-block, lane-block), so each vreg's intercept is
+    # its own least-squares fit, not lane-block 0's
+    a = my[:, 0, :, 0] - bq * mx[:, 0, :, 0]
     a_fix = jnp.round(a * A_FIX).astype(jnp.int32)
     aq = a_fix.astype(jnp.float32) / A_FIX
     aqx = aq[:, None, :, None]

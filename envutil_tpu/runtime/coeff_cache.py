@@ -52,7 +52,16 @@ def _entry_path(cdir: pathlib.Path, fct, key, args=None) -> pathlib.Path:
 
 
 def _pack_spline(d: dict, prefix: str, spl: S.Spline2D) -> None:
-    d[prefix + "coeff"] = np.asarray(spl.coeff)
+    coeff = np.asarray(spl.coeff)
+    # np.savez writes ml_dtypes arrays (bfloat16 etc.) as opaque void
+    # records that cannot be read back: store the raw bits as uint16
+    # and tag the real dtype so load reconstructs it with .view()
+    dtype_tag = coeff.dtype.name
+    if dtype_tag not in ("float32", "float64", "float16"):
+        d[prefix + "coeff"] = np.ascontiguousarray(coeff).view(np.uint16)
+    else:
+        d[prefix + "coeff"] = coeff
+    d[prefix + "dtype"] = np.array([dtype_tag])
     d[prefix + "meta"] = np.array(
         [spl.pad, spl.degree, spl.core_shape[0], spl.core_shape[1],
          int(spl.spherical)], np.int64)
@@ -63,7 +72,13 @@ def _unpack_spline(z, prefix: str) -> S.Spline2D:
     import jax.numpy as jnp
     pad, degree, ch, cw, sph = [int(v) for v in z[prefix + "meta"]]
     bcs = tuple(str(b) for b in z[prefix + "bcs"])
-    return S.Spline2D(coeff=jnp.asarray(z[prefix + "coeff"]), pad=pad,
+    coeff = z[prefix + "coeff"]
+    if prefix + "dtype" in z:
+        tag = str(z[prefix + "dtype"][0])
+        if coeff.dtype.name != tag:
+            import ml_dtypes
+            coeff = coeff.view(np.dtype(getattr(ml_dtypes, tag)))
+    return S.Spline2D(coeff=jnp.asarray(coeff), pad=pad,
                       degree=degree, bcs=bcs, core_shape=(ch, cw),
                       spherical=bool(sph))
 

@@ -204,8 +204,10 @@ class VisorServer:
                  "height": self.store.height}
         _send_msg(conn, hello)
         send_lock = threading.Lock()
+        stop = threading.Event()
         render = threading.Thread(target=self._render_thread,
-                                  args=(conn, send_lock), daemon=True)
+                                  args=(conn, send_lock, stop),
+                                  daemon=True)
         render.start()
         try:
             while True:
@@ -226,6 +228,10 @@ class VisorServer:
                     break
                 self._jobs.put(msg)
         finally:
+            # wake the render thread even if it is parked waiting for a
+            # pipeline slot / free buffer that a dead client will never
+            # release, so join() below cannot deadlock
+            stop.set()
             self._jobs.put(None)
             render.join()
             conn.close()
@@ -235,15 +241,26 @@ class VisorServer:
             self._inflight = threading.Semaphore(FRAME_QUEUE_DEPTH)
             self.store.reset()
 
-    def _render_thread(self, conn, send_lock) -> None:
+    def _render_thread(self, conn, send_lock, stop) -> None:
         while True:
             spec = self._jobs.get()
             if spec is None:
                 return
             spec["t_job_popped"] = time.time()
-            # back-pressure: wait for a pipeline slot, then a buffer
-            self._inflight.acquire()
-            idx = self.store.get()
+            # back-pressure: wait for a pipeline slot, then a buffer -
+            # with a stop check, since releases only arrive from client
+            # messages and the client may be gone
+            while not self._inflight.acquire(timeout=0.1):
+                if stop.is_set():
+                    return
+            while True:
+                try:
+                    idx = self.store.get(timeout=0.1)
+                    break
+                except queue.Empty:
+                    if stop.is_set():
+                        self._inflight.release()
+                        return
             try:
                 spec["t_render_start"] = time.time()
                 frame = self.render_fn(spec)

@@ -230,3 +230,45 @@ def test_coeff_bf16_render(tmp_path):
     p = psnr(a, b)
     assert p > 40.0, f"bf16 PSNR {p:.1f} dB"
     assert np.abs(a - b).max() > 0  # actually took the bf16 path
+
+
+def test_coeff_cache_bf16_roundtrip(tmp_path):
+    """--coeff bf16 + --coeff_cache: np.savez cannot represent
+    ml_dtypes bfloat16 natively, so the cache stores raw uint16 bits +
+    a dtype tag; load() must restore (not treat the entry as corrupt)
+    with the bf16 tables bit-identical."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.core.facet import Facet
+    from envutil_tpu.ops import spline as S
+    from envutil_tpu.runtime import coeff_cache
+
+    env = synthetic_equirect(64, 32)
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+
+    class _A:
+        coeff_cache = str(tmp_path / "cc")
+        coeff_dtype = "bf16"
+        verbose = False
+
+    fct = Facet(facet_no=0, nchannels=3)
+    fct.filename = str(tmp_path / "env.exr")
+    spl = S.make_spline(jnp.asarray(env), 3,
+                        bcs=(S.MIRROR, S.PERIODIC))
+    spl = S.Spline2D(coeff=spl.coeff.astype(ml_dtypes.bfloat16),
+                     pad=spl.pad, degree=spl.degree, bcs=spl.bcs,
+                     core_shape=spl.core_shape, spherical=spl.spherical)
+    coeff_cache.store(_A, fct, key="k", spl=spl,
+                      variants={"alt": spl})
+    got = coeff_cache.load(_A, fct, key="k")
+    assert got is not None, "bf16 cache entry treated as a miss"
+    rspl, rvar = got
+    assert rspl.coeff.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(rspl.coeff).view(np.uint16),
+        np.asarray(spl.coeff).view(np.uint16))
+    assert set(rvar) == {"alt"}
+    assert rvar["alt"].coeff.dtype == jnp.bfloat16

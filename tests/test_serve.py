@@ -84,3 +84,48 @@ def test_serve_roundtrip(tmp_path):
     finally:
         if server.poll() is None:
             server.kill()
+
+
+def test_visor_disconnect_with_held_buffers(tmp_path):
+    """Regression: a client that disconnects while holding all pipeline
+    slots (>= FRAME_QUEUE_DEPTH unreleased frames, more jobs queued)
+    must not deadlock the render thread; the next connection is served
+    (render thread wakes via the per-connection stop event)."""
+    import threading
+
+    from envutil_tpu.runtime import visor
+
+    sock_path = str(tmp_path / "visor.sock")
+
+    def render_fn(spec):
+        return np.full((8, 8), spec["serial_no"], np.uint32)
+
+    srv = visor.VisorServer(render_fn, sock_path, width=16, height=16,
+                            shm_prefix=f"test_visor_{os.getpid()}")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    for _ in range(100):
+        if os.path.exists(sock_path):
+            break
+        time.sleep(0.05)
+
+    # first client: queue depth+2 jobs, release nothing, vanish
+    c1 = visor.VisorClient(sock_path)
+    for i in range(visor.FRAME_QUEUE_DEPTH + 2):
+        c1.submit({"job": i})
+    # wait until the pipeline is saturated (depth frames announced)
+    for _ in range(visor.FRAME_QUEUE_DEPTH):
+        hdr = visor._recv_msg(c1.conn)
+        assert "buffer" in hdr
+    c1.conn.close()
+    c1.store.close()
+
+    # second client must get a frame (bounded wait = the regression)
+    c2 = visor.VisorClient(sock_path, timeout=30.0)
+    c2.submit({"job": "again"})
+    hdr, px = c2.next_frame()
+    assert px[0, 0] == hdr["serial_no"]
+    c2.shutdown()
+    c2.close()
+    t.join(timeout=30)
+    assert not t.is_alive(), "server did not shut down"
