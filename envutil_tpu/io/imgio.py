@@ -40,6 +40,10 @@ def _load_native():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
     lib.envio_read_exr.restype = ctypes.c_int
+    lib.envio_read_exr_header.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.envio_read_exr_header.restype = ctypes.c_int
     lib.envio_read_exr_string_attr.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_char_p)]
@@ -137,12 +141,124 @@ def _default_file_csp(path: str, arr_dtype) -> str:
     return "sRGB"
 
 
+# camera RAW formats (the reference reads these through OIIO's libraw
+# plugin, configured via --oiio raw:* keys, envutil_basic.h:843-905;
+# here they go through rawpy when it is installed)
+_RAW_EXTS = {".cr2", ".cr3", ".nef", ".arw", ".dng", ".orf", ".raf",
+             ".rw2", ".pef", ".srw", ".raw", ".erf", ".kdc", ".mrw",
+             ".nrw", ".sr2", ".srf", ".x3f", ".3fr", ".iiq"}
+
+
+def _is_raw(path: str) -> bool:
+    return pathlib.Path(path).suffix.lower() in _RAW_EXTS
+
+
+def parse_oiio_options(options) -> list:
+    """Parse --oiio plugin options in the reference's dialect
+    (envutil_basic.h:843-905): each item is ``key[@TYPE]=value`` or a
+    bare ``key``. Returns (key, typestring, value) triples."""
+    out = []
+    for attr in options or []:
+        if "=" in attr:
+            lhs, val = attr.split("=", 1)
+        else:
+            lhs, val = attr, ""
+        if "@" in lhs:
+            key, typ = lhs.split("@", 1)
+        else:
+            key, typ = lhs, ""
+        out.append((key, typ, val))
+    return out
+
+
+def _read_raw(path: str, oiio_options, verbose: bool):
+    """Decode a camera RAW via rawpy, honoring the OIIO raw:* config
+    keys the reference forwards to its libraw plugin. Returns float32
+    (H, W, 3) in [0,1] plus the effective colour space name."""
+    try:
+        import rawpy
+    except ImportError as e:
+        raise IOError(
+            f"{path}: camera RAW input needs the 'rawpy' package, which "
+            "is not installed in this environment (the reference uses "
+            "OpenImageIO's libraw plugin here)") from e
+
+    kw = dict(output_bps=16, use_camera_wb=True, no_auto_bright=True,
+              gamma=(1.0, 1.0))
+    csp = "scene_linear"
+    for key, _typ, val in parse_oiio_options(oiio_options):
+        if not key.startswith("raw:"):
+            continue  # non-raw keys are handled by the caller
+        sub = key[4:].lower()
+        if sub == "colorspace":
+            name = val.lower()
+            spaces = {"srgb": rawpy.ColorSpace.sRGB,
+                      "srgb-linear": rawpy.ColorSpace.sRGB,
+                      "linear": rawpy.ColorSpace.raw,
+                      "raw": rawpy.ColorSpace.raw,
+                      "adobe": rawpy.ColorSpace.Adobe,
+                      "wide": rawpy.ColorSpace.Wide,
+                      "prophoto": rawpy.ColorSpace.ProPhoto,
+                      "prophoto-linear": rawpy.ColorSpace.ProPhoto,
+                      "xyz": rawpy.ColorSpace.XYZ,
+                      "aces": rawpy.ColorSpace.ACES}
+            if name in spaces:
+                kw["output_color"] = spaces[name]
+            if name == "srgb":
+                kw["gamma"] = (2.222, 4.5)  # libraw's sRGB-ish default
+                csp = "sRGB"
+            elif verbose and name not in spaces:
+                print(f"--oiio {key}={val}: unknown colour space, "
+                      "keeping linear")
+        elif sub == "use_camera_wb":
+            kw["use_camera_wb"] = bool(int(val))
+        elif sub == "auto_bright":
+            kw["no_auto_bright"] = not bool(int(val))
+        elif sub == "exposure":
+            kw["exp_shift"] = float(val)
+        elif sub == "user_flip":
+            kw["user_flip"] = int(val)
+        elif sub == "demosaic":
+            try:
+                kw["demosaic_algorithm"] = \
+                    getattr(rawpy.DemosaicAlgorithm, val)
+            except AttributeError:
+                if verbose:
+                    print(f"--oiio {key}={val}: unknown demosaic "
+                          "algorithm, using default")
+        elif sub == "highlightmode":
+            kw["highlight_mode"] = int(val)
+        elif verbose:
+            print(f"--oiio {key}={val}: key not supported by the "
+                  "rawpy backend, ignored")
+    with rawpy.imread(path) as r:
+        rgb = r.postprocess(**kw)
+    return rgb.astype(np.float32) / 65535.0, csp
+
+
 def read_image(path: str, colour_space: str = "",
                working_colour_space: str = "scene_linear",
-               verbose: bool = False) -> np.ndarray:
+               verbose: bool = False, oiio_options=None) -> np.ndarray:
     """Read an image file to interleaved float32 (H, W, C) in the
     working colour space. ``colour_space`` overrides the file's assumed
-    colour space (the PTO 'Csp' extension / --input_colour_space)."""
+    colour space (the PTO 'Csp' extension / --input_colour_space).
+    ``oiio_options`` is the --oiio plugin key list (reference
+    envutil_basic.h:843-905); raw:* keys drive RAW decoding, other keys
+    are specific to OIIO plugins this build does not use and warn."""
+    if oiio_options and verbose:
+        for key, typ, val in parse_oiio_options(oiio_options):
+            if not key.startswith("raw:"):
+                print(f"--oiio {key}"
+                      + (f"@{typ}" if typ else "")
+                      + f"={val}: no OIIO in this build; key has no "
+                      "effect on non-RAW inputs")
+    if _is_raw(path):
+        arr, file_csp = _read_raw(path, oiio_options, verbose)
+        csp = colour_space or file_csp
+        if verbose:
+            print(f"file {path} loaded: {arr.shape[1]}x{arr.shape[0]}"
+                  f"#{arr.shape[2]}, colour space {csp}")
+        return convert_colour(arr, csp, working_colour_space)
     if _is_exr(path):
         lib = _load_native()
         data = ctypes.POINTER(ctypes.c_float)()
@@ -182,6 +298,18 @@ def read_image_metadata(path: str) -> dict:
     """Glean size/channels and (for EXR) Projection/Hfov metadata
     without loading pixel data where possible."""
     meta = {}
+    if _is_raw(path):
+        try:
+            import rawpy
+        except ImportError as e:
+            raise IOError(
+                f"{path}: camera RAW metadata needs 'rawpy', which is "
+                "not installed in this environment") from e
+        with rawpy.imread(path) as r:
+            s = r.sizes
+        meta["width"], meta["height"] = int(s.width), int(s.height)
+        meta["nchannels"] = 3
+        return meta
     if _is_exr(path):
         lib = _load_native()
         sval = ctypes.c_char_p()
@@ -193,10 +321,18 @@ def read_image_metadata(path: str) -> dict:
         if lib.envio_read_exr_float_attr(str(path).encode(), b"Hfov",
                                          ctypes.byref(fval)) == 0:
             meta["Hfov"] = float(fval.value)
-        # size requires a read of the header; reuse the reader for now
-        arr = read_image(path)
-        meta["width"], meta["height"] = arr.shape[1], arr.shape[0]
-        meta["nchannels"] = arr.shape[2]
+        # header-only probe: no pixel decode (the reference gleans
+        # specs from the OIIO spec likewise, envutil_basic.h:545-630)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        c = ctypes.c_int()
+        rc = lib.envio_read_exr_header(str(path).encode(),
+                                       ctypes.byref(w), ctypes.byref(h),
+                                       ctypes.byref(c))
+        if rc != 0:
+            raise IOError(f"cannot probe EXR header: {path} (rc={rc})")
+        meta["width"], meta["height"] = int(w.value), int(h.value)
+        meta["nchannels"] = int(c.value)
     else:
         import imageio.v3 as iio
         props = iio.improps(path)

@@ -83,6 +83,35 @@ int envio_read_exr(const char* path, float** data, int* width,
   }
 }
 
+// Header-only probe: width/height/channel count without decoding any
+// pixel data (the reference gleans image specs from the OIIO spec the
+// same way, envutil_basic.h:545-630). Returns 0 on success.
+int envio_read_exr_header(const char* path, int* width, int* height,
+                          int* nch) {
+  try {
+    InputFile file(path);
+    Box2i dw = file.header().dataWindow();
+    *width = dw.max.x - dw.min.x + 1;
+    *height = dw.max.y - dw.min.y + 1;
+    const ChannelList& channels = file.header().channels();
+    const char* rgba[] = {"R", "G", "B", "A"};
+    const char* ya[] = {"Y", "A"};
+    int c = 0;
+    for (const char* n : rgba)
+      if (channels.findChannel(n)) ++c;
+    if (c == 0)
+      for (const char* n : ya)
+        if (channels.findChannel(n)) ++c;
+    if (c == 0)
+      for (auto it = channels.begin(); it != channels.end(); ++it) ++c;
+    if (c == 0) return -2;
+    *nch = c;
+    return 0;
+  } catch (...) {
+    return -1;
+  }
+}
+
 // Read a named string attribute into a malloc'd buffer (caller frees).
 // Returns 0 on success, 1 if absent, <0 on error.
 int envio_read_exr_string_attr(const char* path, const char* name,

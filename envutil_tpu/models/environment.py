@@ -119,21 +119,26 @@ def _fill_polygon_mask(alpha: np.ndarray, vx, vy) -> None:
             elif vy[j] < y and vy[i] >= y:
                 cross = -1
             if cross:
+                # the reference truncates the crossing x to int before
+                # sorting (envutil_basic.cc:266); its bubble sort keeps
+                # equal keys in insertion order, so sort stably on x
                 x = vx[i] + (y - vy[i]) / (vy[j] - vy[i]) * (vx[j] - vx[i])
-                nodes.append((x, cross))
+                nodes.append((int(x), cross))
             j = i
-        nodes.sort()
+        nodes.sort(key=lambda t: t[0])
+        # cumulative winding over the sorted crossings; fill between
+        # node k and k+1 while it is nonzero. The crossings of a closed
+        # polygon sum to zero per scanline, so the last node never
+        # starts a filled span (the reference relies on the same).
         w_ord = 0
         for k in range(len(nodes) - 1):
             w_ord += nodes[k][1]
             if w_ord == 0:
                 continue
-            x0 = max(0, int(nodes[k][0]))
-            x1 = min(w, int(nodes[k + 1][0]))
+            x0 = max(0, nodes[k][0])
+            x1 = min(w, nodes[k + 1][0])
             if x0 < x1:
                 alpha[y, x0:x1] = 0.0
-        # account for the last node's direction (kept for parity with
-        # the reference's cumulative winding over all nodes)
 
 
 def _binomial_blur(a: np.ndarray) -> np.ndarray:

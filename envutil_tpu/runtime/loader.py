@@ -24,11 +24,13 @@ def _read_facet_image(fct: Facet, args) -> np.ndarray:
     if "%s" in fct.filename:
         faces = [imgio.read_image(
             fct.filename % name, fct.colour_space,
-            args.working_colour_space, args.verbose)
+            args.working_colour_space, args.verbose,
+            oiio_options=args.oiio_options)
             for name in FACE_NAMES]
         return np.stack(faces)  # (6, F, F, C)
     img = imgio.read_image(fct.filename, fct.colour_space,
-                           args.working_colour_space, args.verbose)
+                           args.working_colour_space, args.verbose,
+                           oiio_options=args.oiio_options)
     return img
 
 

@@ -95,6 +95,9 @@ def test_exr_scanline_stream_round_trip(tmp_path):
     meta = imgio.read_image_metadata(path)
     assert meta["Projection"] == "spherical"
     assert meta["Hfov"] == 360.0
+    # the probe is header-only (envio_read_exr_header): it must report
+    # size/channels without decoding pixels
+    assert (meta["width"], meta["height"], meta["nchannels"]) == (96, 64, 3)
 
     # scanline reader in arbitrary (non-sequential) order
     rd = exr_line_reader(path)
@@ -155,3 +158,25 @@ def test_render_to_store_matches_render_frame(tmp_path):
     render_to_store(plan, [src], wr.line_store(), strip_rows=80)
     wr.close()
     np.testing.assert_allclose(imgio.read_image(path), ref, atol=1e-5)
+
+
+def test_oiio_option_parsing_and_raw_gate(tmp_path):
+    # --oiio dialect: key[@TYPE]=value / bare key (envutil_basic.h:843-905)
+    from envutil_tpu.io.imgio import parse_oiio_options, read_image
+    assert parse_oiio_options(
+        ["raw:ColorSpace=linear", "oiio:UnassociatedAlpha@int=1", "flag"]
+    ) == [("raw:ColorSpace", "", "linear"),
+          ("oiio:UnassociatedAlpha", "int", "1"),
+          ("flag", "", "")]
+    # RAW input without rawpy installed must fail with a clear message,
+    # not an AttributeError deep in a decoder
+    raw = tmp_path / "shot.cr2"
+    raw.write_bytes(b"II*\x00 not really a raw file")
+    try:
+        import rawpy  # noqa: F401
+        has_rawpy = True
+    except ImportError:
+        has_rawpy = False
+    if not has_rawpy:
+        with pytest.raises(IOError, match="rawpy"):
+            read_image(str(raw))
