@@ -507,13 +507,20 @@ def _dbuf_ok(wc: WindowClass, nch: int, itemsize: int = 4) -> bool:
 
 def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
                           sx_ref, sy_ref,     # (TILE_H, TILE_W) VMEM
-                          coeff_ref,          # (C, Hp, Wp) HBM/ANY
-                          canvas_ref,         # aliased output (unread)
-                          out_ref,            # (C, TILE_H, TILE_W) VMEM
-                          *scratch,
+                          *rest,
                           degree: int, wc: WindowClass, nch: int,
                           nt: int, dbuf: bool, unroll: int,
-                          stride: int):
+                          stride: int, merge: bool = False):
+    # merge=False: coeff, canvas (aliased output, unread), out
+    # merge=True:  mask (f32 TILE blocks), coeff, canvas-in (VMEM
+    #              blocks, aliased to the output), out - tile pixels
+    #              with mask <= 0.5 keep the canvas's prior contents
+    #              (per-pixel overlay for face-boundary tiles)
+    if merge:
+        mask_ref, coeff_ref, cin_ref, out_ref, *scratch = rest
+    else:
+        mask_ref = cin_ref = None
+        coeff_ref, _canvas_ref, out_ref, *scratch = rest
     win_ref, sem = scratch[0], scratch[1]
     f32_ref = scratch[2] if len(scratch) > 2 else None
     t = pl.program_id(0)
@@ -582,8 +589,14 @@ def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
                 cb0 = pl.multiple_of(tiles_ref[base + 1], 128)
             accs = _eval_row_block(sx, sy, win, degree=degree, wc=wc,
                                    nch=nch, rb0=rb0, cb0=cb0)
-        for ch in range(nch):
-            out_ref[ch, pl.ds(r * 8, 8), :] = accs[ch]
+        if merge:
+            m = mask_ref[pl.ds(r * 8, 8), :] > 0.5
+            for ch in range(nch):
+                out_ref[ch, pl.ds(r * 8, 8), :] = jnp.where(
+                    m, accs[ch], cin_ref[ch, pl.ds(r * 8, 8), :])
+        else:
+            for ch in range(nch):
+                out_ref[ch, pl.ds(r * 8, 8), :] = accs[ch]
         return _
 
     # Mosaic lowers fori_loop with unroll=1 or full unroll only
@@ -598,7 +611,9 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                          tiles: jnp.ndarray, *, degree: int,
                          wc: WindowClass = LOCAL,
                          interpret: bool = False,
-                         unroll: bool = False) -> jnp.ndarray:
+                         unroll: bool = False,
+                         merge_mask: jnp.ndarray = None
+                         ) -> jnp.ndarray:
     """Compact-grid variant of resample_planar: one grid step per
     listed tile (no inactive steps, no per-tile traffic for tiles the
     pass does not own), writing straight into ``canvas`` (donated and
@@ -610,7 +625,13 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
     (oy % 8 == 0, ox % 128 == 0). The extended form appends NRB
     (rb0, cb0) per-row-block candidate origins (window-relative,
     8/128-aligned, from the classifier stats - see
-    row_block_origins)."""
+    row_block_origins).
+
+    ``merge_mask`` (same shape as sx, float32 0/1): per-pixel overlay
+    mode - pixels with mask <= 0.5 keep the canvas's prior contents.
+    Used for cubemap face-boundary tiles, where each contributing
+    face's pass writes exactly the pixels that face dominates
+    (fastpath.plan_passes boundary phase)."""
     nch, hp, wp = coeff.shape
     ha, wa = aligned_dims(hp, wp, wc)
     if (ha, wa) != (hp, wp):
@@ -634,21 +655,35 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         scratch.append(pltpu.VMEM((nch, wc.win_h, wc.win_w),
                                   jnp.float32))
 
+    in_block = pl.BlockSpec((TILE_H, TILE_W),
+                            lambda t, o: (o[t * stride],
+                                          o[t * stride + 1]),
+                            memory_space=pltpu.VMEM)
+    merge = merge_mask is not None
+    if merge:
+        # the canvas rides as a VMEM-blocked *input* mapped to the
+        # output tile (and aliased to the output), so the kernel can
+        # read the prior contents it merges over
+        in_specs = [in_block, in_block, in_block,
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(
+                        (nch, TILE_H, TILE_W),
+                        lambda t, o: (0, o[t * stride + 2],
+                                      o[t * stride + 3]),
+                        memory_space=pltpu.VMEM)]
+        operands = (tiles.reshape(-1), sx, sy, merge_mask, coeff,
+                    canvas)
+        alias = {5: 0}
+    else:
+        in_specs = [in_block, in_block,
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY)]
+        operands = (tiles.reshape(-1), sx, sy, coeff, canvas)
+        alias = {4: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((TILE_H, TILE_W),
-                         lambda t, o: (o[t * stride],
-                                       o[t * stride + 1]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W),
-                         lambda t, o: (o[t * stride],
-                                       o[t * stride + 1]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (nch, TILE_H, TILE_W),
             lambda t, o: (0, o[t * stride + 2], o[t * stride + 3]),
@@ -657,13 +692,14 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
     )
     kern = functools.partial(_resample_kernel_into, degree=degree,
                              wc=wc, nch=nch, nt=nt, dbuf=dbuf,
-                             unroll=unroll, stride=stride)
+                             unroll=unroll, stride=stride,
+                             merge=merge)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
-        input_output_aliases={4: 0},  # canvas (incl. scalar operand)
+        input_output_aliases=alias,  # canvas (incl. scalar operand)
         interpret=interpret,
-    )(tiles.reshape(-1), sx, sy, coeff, canvas)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -677,10 +713,17 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
 def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                         sx_ref, sy_ref,
                         dux_ref, duy_ref, dvx_ref, dvy_ref,
-                        coeff_ref, canvas_ref, out_ref, *scratch,
+                        *rest,
                         degree: int, wc: WindowClass, nch: int,
                         n_taps: int, nt: int, dbuf: bool,
-                        stride: int):
+                        stride: int, merge: bool = False):
+    # merge: see _resample_kernel_into - mask + canvas-in blocks for
+    # per-pixel overlay of face-boundary tiles
+    if merge:
+        mask_ref, coeff_ref, cin_ref, out_ref, *scratch = rest
+    else:
+        mask_ref = cin_ref = None
+        coeff_ref, _canvas_ref, out_ref, *scratch = rest
     win_ref, sem = scratch[0], scratch[1]
     f32_ref = scratch[2] if len(scratch) > 2 else None
     """Compact-grid twined kernel: one grid step per listed tile,
@@ -774,8 +817,14 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
         acc0 = tuple(jnp.zeros((8, TILE_W), jnp.float32)
                      for _c in range(nch))
         acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
-        for ch in range(nch):
-            out_ref[ch, pl.ds(r * 8, 8), :] = acc[ch]
+        if merge:
+            m = mask_ref[sl] > 0.5
+            for ch in range(nch):
+                out_ref[ch, pl.ds(r * 8, 8), :] = jnp.where(
+                    m, acc[ch], cin_ref[ch, pl.ds(r * 8, 8), :])
+        else:
+            for ch in range(nch):
+                out_ref[ch, pl.ds(r * 8, 8), :] = acc[ch]
         return _
 
     jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
@@ -786,9 +835,11 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
 def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
                          tiles, spread, *, degree: int, n_taps: int,
                          wc: WindowClass = LOCAL,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         merge_mask: jnp.ndarray = None
+                         ) -> jnp.ndarray:
     """Compact-grid twined resampling into a donated canvas (see
-    resample_planar_into for the tile-row layout)."""
+    resample_planar_into for the tile-row layout and merge_mask)."""
     nch, hp, wp = coeff.shape
     ha, wa = aligned_dims(hp, wp, wc)
     if (ha, wa) != (hp, wp):
@@ -813,13 +864,31 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
                                   jnp.float32))
 
     cmap = lambda t, o, s: (o[t * stride], o[t * stride + 1])
+    in_block = pl.BlockSpec((TILE_H, TILE_W), cmap,
+                            memory_space=pltpu.VMEM)
+    merge = merge_mask is not None
+    if merge:
+        in_specs = ([in_block] * 7
+                    + [pl.BlockSpec(memory_space=pltpu.ANY),
+                       pl.BlockSpec(
+                           (nch, TILE_H, TILE_W),
+                           lambda t, o, s: (0, o[t * stride + 2],
+                                            o[t * stride + 3]),
+                           memory_space=pltpu.VMEM)])
+        operands = (tiles.reshape(-1), spread, sx, sy, dux, duy, dvx,
+                    dvy, merge_mask, coeff, canvas)
+        alias = {10: 0}
+    else:
+        in_specs = ([in_block] * 6
+                    + [pl.BlockSpec(memory_space=pltpu.ANY),
+                       pl.BlockSpec(memory_space=pltpu.ANY)])
+        operands = (tiles.reshape(-1), spread, sx, sy, dux, duy, dvx,
+                    dvy, coeff, canvas)
+        alias = {9: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
-        in_specs=[pl.BlockSpec((TILE_H, TILE_W), cmap,
-                               memory_space=pltpu.VMEM)] * 6
-        + [pl.BlockSpec(memory_space=pltpu.ANY),
-           pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (nch, TILE_H, TILE_W),
             lambda t, o, s: (0, o[t * stride + 2],
@@ -829,14 +898,13 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
     )
     kern = functools.partial(_twined_kernel_into, degree=degree,
                              wc=wc, nch=nch, n_taps=n_taps, nt=nt,
-                             dbuf=dbuf, stride=stride)
+                             dbuf=dbuf, stride=stride, merge=merge)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
-        input_output_aliases={9: 0},
+        input_output_aliases=alias,
         interpret=interpret,
-    )(tiles.reshape(-1), spread, sx, sy, dux, duy, dvx, dvy, coeff,
-      canvas)
+    )(*operands)
 
 
 def _twined_kernel(origins_ref, spread_ref,     # scalar prefetch
@@ -1047,6 +1115,60 @@ def tile_stats_range(sx_lo, sx_hi, sy_lo, sy_hi):
             jnp.max(v(sy_hi), axis=(1, 3)),
             jnp.min(v(sx_lo), axis=(1, 3)),
             jnp.max(v(sx_hi), axis=(1, 3)), drift)
+
+
+def masked_coord_fill(a: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Replace invalid pixels of an (h, w) coordinate plane with their
+    (8, 128) vreg's masked least-squares *linear fit along lanes*
+    evaluated at their own lane (vregs with no valid pixel fall back
+    to their (TILE_H, TILE_W) tile's masked mean). Running both the
+    classifier statistics AND the kernel on the filled plane makes the
+    class budgets bound essentially only the valid pixels: within a
+    vreg the coordinates are near-affine in the lane index (that is
+    the premise of the window classes), so fit-predicted fills extend
+    per-lane sublane spans, vreg spans and the shear-fit residual band
+    by at most the fit residual - unlike a constant fill, which breaks
+    the vreg's linearity outright and busts the budgets. A filled
+    value below a lane's valid minimum merely lowers the kernel's
+    per-lane tap base (_eval_row_block's bxc); the drift budget is
+    computed on the same filled plane, so routing stays exact. Used by
+    the face-boundary merge passes, whose kernels only keep the pixels
+    their face dominates."""
+    h, w = a.shape
+    va = a.reshape(h // 8, 8, w // 128, 128)
+    vm = mask.reshape(h // 8, 8, w // 128, 128).astype(a.dtype)
+    lane = (jnp.arange(128, dtype=a.dtype) - 63.5)  # centered lanes
+    cnt = vm.sum(axis=(1, 3), keepdims=True)
+    safe = jnp.maximum(cnt, 1.0)
+    sa = (vm * va).sum(axis=(1, 3), keepdims=True)
+    mean_a = sa / safe
+    sl = (vm * lane).sum(axis=(1, 3), keepdims=True)
+    mean_l = sl / safe
+    dl = lane - mean_l
+    da = va - mean_a
+    var = (vm * dl * dl).sum(axis=(1, 3), keepdims=True)
+    cov = (vm * dl * da).sum(axis=(1, 3), keepdims=True)
+    b = jnp.where(var > 0.5, cov / jnp.maximum(var, 0.5), 0.0)
+    # clamp the prediction to the vreg's valid range: when the valid
+    # pixels cluster in a few lanes the fit extrapolates wildly over
+    # the rest, widening the span budgets past what the valid pixels
+    # need - the clamp caps every fill inside the valid span
+    vmin = jnp.where(vm > 0, va, jnp.inf).min(axis=(1, 3),
+                                              keepdims=True)
+    vmax = jnp.where(vm > 0, va, -jnp.inf).max(axis=(1, 3),
+                                               keepdims=True)
+    vfit = jnp.clip(mean_a + b * dl, vmin, vmax)
+    nby, nbx = h // TILE_H, w // TILE_W
+    rb, lb = TILE_H // 8, TILE_W // 128
+    tcnt = cnt.reshape(nby, rb, 1, nbx, lb, 1).sum(
+        axis=(1, 4), keepdims=True)
+    ts = sa.reshape(nby, rb, 1, nbx, lb, 1).sum(
+        axis=(1, 4), keepdims=True)
+    tmean = jnp.broadcast_to(ts / jnp.maximum(tcnt, 1.0),
+                             (nby, rb, 1, nbx, lb, 1)
+                             ).reshape(cnt.shape)
+    fill = jnp.where(cnt > 0, vfit, tmean)
+    return jnp.where(vm > 0, va, fill).reshape(h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("degree",))

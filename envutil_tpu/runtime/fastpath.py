@@ -137,9 +137,9 @@ def _geom_static(plan):
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "window", "name", "fi",
-                                    "bias"))
+                                    "bias", "dom_neutral"))
 def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
-            basis=None):
+            basis=None, dom_neutral: bool = False):
     """Per-pixel padded spline coordinates + validity mask + ray z (the
     voronoi centrality criterion) for one source variant of facet
     ``fi``. ``bias`` offsets the sampling grid by a sub-pixel step
@@ -167,20 +167,42 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
         m = st.metrics
         face = int(name[3:])
         fx, fy = geo.ray_to_cubeface_fixed(*ray, jnp.int32(face))
+        # the "mask" slot carries face DOMINANCE (same ray_to_cubeface
+        # the exact path selects with, so bitwise-consistent): the
+        # boundary-tile merge passes write exactly the pixels this
+        # face dominates (plan_passes boundary phase). Never use it as
+        # a validity mask - cubemap sources cover the full sphere.
+        fv, _fx2, _fy2 = geo.ray_to_cubeface(*ray)
+        mask = fv == face
+        if dom_neutral:
+            # merge-pass form: pixels this face does not dominate are
+            # masked out by the kernel. Pin them to the face edge for
+            # finiteness (also absorbs 2-to-1 backward aliasing - a
+            # backward ray is never dominated), then replace them with
+            # their vreg's dominated-centroid below, so they never
+            # constrain the window fit NOR perturb the kernel's
+            # per-lane column minima (stats and kernel see the same
+            # filled planes).
+            fx = jnp.where(mask, fx, jnp.clip(fx, -1.0, 1.0))
+            fy = jnp.where(mask, fy, jnp.clip(fy, -1.0, 1.0))
         if st.projection == Projection.BIATAN6:
             fx = (4.0 / math.pi) * jnp.arctan(fx)
             fy = (4.0 / math.pi) * jnp.arctan(fy)
         sx = (fx + m.refc_md) * m.model_to_px - 0.5 + spl.pad
         sy = (fy + m.refc_md) * m.model_to_px - 0.5 + spl.pad
-        # central projection is 2-to-1: a ray pointing at the OPPOSITE
-        # face aliases to in-window coordinates. Poison backward rays
-        # so tiles containing any fail classification (the kernel
-        # never runs on them)
-        sign = (-1.0, 1.0, -1.0, 1.0, 1.0, -1.0)[face]
-        fwd = sign * ray[face >> 1] > 1e-6
-        sx = jnp.where(fwd, sx, 2.0e9)
-        sy = jnp.where(fwd, sy, 2.0e9)
-        mask = jnp.ones(ray[0].shape, dtype=bool)
+        if dom_neutral:
+            sx = PR.masked_coord_fill(sx, mask)
+            sy = PR.masked_coord_fill(sy, mask)
+        else:
+            # whole-tile form (uniform tiles): central projection is
+            # 2-to-1 - a ray pointing at the OPPOSITE face aliases to
+            # in-window coordinates. Poison backward rays so tiles
+            # containing any fail classification (the kernel never
+            # runs on them)
+            sign = (-1.0, 1.0, -1.0, 1.0, 1.0, -1.0)[face]
+            fwd = sign * ray[face >> 1] > 1e-6
+            sx = jnp.where(fwd, sx, 2.0e9)
+            sy = jnp.where(fwd, sy, 2.0e9)
         return sx, sy, mask, ray_z
     if name.startswith("pitched"):
         ray = geo.apply_matrix(PITCH_BASIS.T, *ray)
@@ -204,6 +226,21 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
     sx = S.gate(sx, spl.bcs[1], w) + spl.pad
     sy = S.gate(sy, spl.bcs[0], h) + spl.pad
     return sx, sy, mask, ray_z
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "window", "fi"))
+def _face_map(plan, window, fi, basis):
+    """Per-pixel dominant cube face over the window (the same
+    ray_to_cubeface the exact path selects with - face choice is
+    scale-invariant, so the unnormalized ray suffices)."""
+    ray = ST.target_rays(plan.projection, plan.width, plan.height,
+                         plan.extent, basis=None, normalize=False,
+                         planar_to_ray=plan.planar_to_ray[fi],
+                         window=window)
+    if basis is not None:
+        ray = geo.apply_matrix(basis, *ray)
+    fv, _fx, _fy = geo.ray_to_cubeface(*ray)
+    return fv
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "window", "fi"))
@@ -313,11 +350,13 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
     (tile_stats_range over the derivative margins).
 
     Returns ``(passes, assigned)`` with passes a list of
-    ``(name, wc, box, tiles)``: variant name, window class, tile-grid
-    bounding box (ty0, ty1, tx0, tx1) the coordinates are computed
-    over, and int32 (nt, 6) compact tile rows (in_by, in_bx, out_by,
-    out_bx, oy, ox) for resample_planar_into - one row per tile the
-    pass owns."""
+    ``(name, wc, box, tiles, merge)``: variant name, window class,
+    tile-grid bounding box (ty0, ty1, tx0, tx1) the coordinates are
+    computed over, int32 (nt, 6) compact tile rows (in_by, in_bx,
+    out_by, out_bx, oy, ox) for resample_planar_into - one row per
+    tile the pass owns - and the merge flag (face-boundary overlay
+    passes: the kernel writes only the pixels the pass's face
+    dominates, see the boundary phase below)."""
     geom = _geom_static(plan)
     basis = _basis_arg(plan, fi)
     names = _variant_names(src)
@@ -331,6 +370,20 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
     covered = np.asarray(mask).reshape(
         nty, PR.TILE_H, ntx, PR.TILE_W).any(axis=(1, 3))
     assigned[~covered] = ZERO_PASS
+
+    # cubemap face dominance: sec{i} may claim a whole tile outright
+    # only when face i dominates every pixel (forcing a boundary
+    # tile through ONE face approximates its minority pixels - they
+    # read re-projected support content); mixed tiles are handled
+    # exactly by the boundary phase below (one merge pass per
+    # contributing face)
+    has_sec = any(n.startswith("sec") for n in names)
+    tile_face = None
+    if has_sec:
+        fmap = np.asarray(_face_map(geom, window, fi, basis))
+        tf = fmap.reshape(nty, PR.TILE_H, ntx, PR.TILE_W)
+        uniform = (tf == tf[:, :1, :, :1]).all(axis=(1, 3))
+        tile_face = np.where(uniform, tf[:, 0, :, 0], -1)
 
     # pass priority: cheapest window class first across the exact
     # variants (orig/rolled are exact re-parametrizations), then the
@@ -404,6 +457,9 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
             stats, spl.coeff.shape[0], spl.coeff.shape[1],
             spl.degree, wc)
         take = fast & rem[bty0:bty1, btx0:btx1]
+        if name.startswith("sec"):
+            take &= (tile_face[bty0:bty1, btx0:btx1]
+                     == int(name[3:]))
         if take.any():
             assigned[bty0:bty1, btx0:btx1][take] = len(passes)
             iby, ibx = np.nonzero(take)
@@ -420,7 +476,120 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
                 ext = PR.row_block_origins(stats, tiles, spl.degree,
                                            wc)
             tiles = np.concatenate([tiles, ext], axis=1)
-            passes.append((name, wc, box, tiles))
+            passes.append((name, wc, box, tiles, False))
+
+    # boundary phase: a face-boundary tile mixes dominant faces, so no
+    # single sec pass can serve it exactly. Render it once per
+    # contributing face through that face's extended section
+    # parametrization, each a MERGE pass writing only the pixels its
+    # face dominates (majority-pixel evaluation through the section
+    # slice is exact - it reads the same IR coefficients at the same
+    # coordinates as the full-IR evaluation), so the composite equals
+    # the exact XLA render. A tile joins only if EVERY face present in
+    # it classifies; otherwise it stays -1 (XLA fallback).
+    rem = assigned == -1
+    if has_sec and rem.any():
+        ys, xs = np.nonzero(rem)
+        box = (int(ys.min()), int(ys.max()) + 1,
+               int(xs.min()), int(xs.max()) + 1)
+        bty0, bty1, btx0, btx1 = box
+        bntx = btx1 - btx0
+        ladder = cheap + last
+        cls_cache = {}
+
+        def face_fit(f):
+            """First-fitting class per box tile for sec{f}, or None."""
+            name = f"sec{f}"
+            if name not in names:
+                return None
+            if f not in cls_cache:
+                spl = _variant_spline(src, name)
+                key = (name, box, "dom")
+                if key not in stats_cache:
+                    bwin = _box_window(window, box)
+                    if spread is None:
+                        sx, sy, _m, _z = _coords(geom, bwin, name,
+                                                 src, fi, (0.0, 0.0),
+                                                 basis,
+                                                 dom_neutral=True)
+                        raw = PR.tile_stats_fit(sx, sy, spl.degree)
+                    else:
+                        c0 = _coords(geom, bwin, name, src, fi,
+                                     (0.0, 0.0), basis,
+                                     dom_neutral=True)
+                        c10 = _coords(geom, bwin, name, src, fi,
+                                      (ST.DERIV_BIAS, 0.0), basis,
+                                      dom_neutral=True)
+                        c01 = _coords(geom, bwin, name, src, fi,
+                                      (0.0, ST.DERIV_BIAS), basis,
+                                      dom_neutral=True)
+                        dux, dvx = _deriv(c0[0], c10[0], c01[0])
+                        duy, dvy = _deriv(c0[1], c10[1], c01[1])
+                        cmx = max(abs(c[0]) for c in spread)
+                        cmy = max(abs(c[1]) for c in spread)
+                        mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+                        my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+                        raw = PR.tile_stats_fit_range(
+                            c0[0], c0[1], mx, my, spl.degree)
+                    stats_cache[key] = [np.asarray(s) for s in raw]
+                stats = stats_cache[key]
+                per_class = []
+                for wc in ladder:
+                    origins, fast = PR.classify_tiles(
+                        stats, spl.coeff.shape[0],
+                        spl.coeff.shape[1], spl.degree, wc)
+                    per_class.append((wc, origins, fast))
+                # first (cheapest) fitting class per tile
+                pick = np.full(per_class[0][2].shape, -1, np.int32)
+                for ci, (_wc, _o, fast) in enumerate(per_class):
+                    pick[(pick == -1) & fast] = ci
+                cls_cache[f] = (per_class, pick)
+            return cls_cache[f]
+
+        # per-tile face sets and fits
+        groups = {}  # (face, class index) -> list of tile rows
+        for ty, tx in zip(ys, xs):
+            faces = np.unique(tf[ty, :, tx, :])
+            fits = []
+            for f in faces:
+                got = face_fit(int(f))
+                if got is None:
+                    fits = None
+                    break
+                per_class, pick = got
+                ci = pick[ty - bty0, tx - btx0]
+                if ci < 0:
+                    fits = None
+                    break
+                fits.append((int(f), int(ci)))
+            if fits is None:
+                continue
+            assigned[ty, tx] = -3  # mergeable; patched to a pass below
+            for f, ci in fits:
+                groups.setdefault((f, ci), []).append((ty, tx))
+
+        for (f, ci), tlist in sorted(groups.items()):
+            name = f"sec{f}"
+            spl = _variant_spline(src, name)
+            per_class, _pick = cls_cache[f]
+            wc, origins, _fast = per_class[ci]
+            stats = stats_cache[name, box, "dom"]
+            iby = np.asarray([ty - bty0 for ty, tx in tlist])
+            ibx = np.asarray([tx - btx0 for ty, tx in tlist])
+            org = origins[iby * bntx + ibx]
+            tiles = np.column_stack(
+                [iby, ibx, iby + bty0, ibx + btx0,
+                 org[:, 0], org[:, 1]]).astype(np.int32)
+            if wc.shear_q:
+                ext = PR.row_block_shear(stats, tiles, spl.degree, wc)
+            else:
+                ext = PR.row_block_origins(stats, tiles, spl.degree,
+                                           wc)
+            tiles = np.concatenate([tiles, ext], axis=1)
+            for ty, tx in tlist:
+                if assigned[ty, tx] == -3:
+                    assigned[ty, tx] = len(passes)
+            passes.append((name, wc, box, tiles, True))
     return passes, assigned
 
 
@@ -474,7 +643,7 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     elif spread is not None:
         state["spread"] = jnp.asarray(
             np.asarray(spread, np.float32).reshape(-1))
-    for name, wc, box, tiles in passes:
+    for name, wc, box, tiles, _merge in passes:
         if name not in state["coeffs"]:
             state["coeffs"][name] = jnp.moveaxis(
                 _variant_spline(src, name).coeff, -1, 0)
@@ -483,8 +652,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     struct = tuple((name, wc, box,
                     _variant_spline(src, name).degree,
                     _variant_spline(src, name).coeff.shape,
-                    tiles.shape[0])
-                   for name, wc, box, tiles in passes)
+                    tiles.shape[0], merge)
+                   for name, wc, box, tiles, merge in passes)
     key = (geom, window, tuple(classes), fi, nch_out, float(brighten),
            nch_in, struct,
            tuple(spread) if spread is not None else None, pertap)
@@ -494,32 +663,38 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     def frame(st, eps):
         canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
         mask0 = None
-        for pi, (name, wc, box, degree, _shape, _nt) in \
+        for pi, (name, wc, box, degree, _shape, _nt, merge) in \
                 enumerate(struct):
             bwin = _box_window(window, box)
             c0 = _coords(geom, bwin, name, st["src"], fi, (0.0, 0.0),
-                         st["basis"])
+                         st["basis"], dom_neutral=merge)
             sx, sy, m = c0[0], c0[1], c0[2]
-            if pi == 0 and box == full_box:
+            if (pi == 0 and box == full_box
+                    and not name.startswith("sec")):
+                # sec "masks" carry face dominance, not validity
                 mask0 = m
+            mm = m.astype(jnp.float32) if merge else None
             if spread is None:
                 canvas = PR.resample_planar_into(
                     canvas, st["coeffs"][name], sx + eps, sy,
                     st["tiles"][pi], degree=degree, wc=wc,
                     unroll=not (_same_geom(wc, PR.DIAG)
-                                or _same_geom(wc, PR.SHEAR4)))
+                                or _same_geom(wc, PR.SHEAR4)),
+                    merge_mask=mm)
             else:
                 c10 = _coords(geom, bwin, name, st["src"], fi,
-                              (ST.DERIV_BIAS, 0.0), st["basis"])
+                              (ST.DERIV_BIAS, 0.0), st["basis"],
+                              dom_neutral=merge)
                 c01 = _coords(geom, bwin, name, st["src"], fi,
-                              (0.0, ST.DERIV_BIAS), st["basis"])
+                              (0.0, ST.DERIV_BIAS), st["basis"],
+                              dom_neutral=merge)
                 dux, dvx = _deriv(sx, c10[0], c01[0])
                 duy, dvy = _deriv(sy, c10[1], c01[1])
                 canvas = PR.resample_twined_into(
                     canvas, st["coeffs"][name], sx + eps, sy,
                     dux, duy, dvx, dvy, st["tiles"][pi],
                     st["spread"], degree=degree, n_taps=n_taps,
-                    wc=wc)
+                    wc=wc, merge_mask=mm)
         if pertap:
             px = canvas  # the caller masks with the per-tap mask
         else:
@@ -693,7 +868,7 @@ def render_fast_twined(plan, sources, verbose: bool = False,
     n_fast = int((assigned >= 0).sum())
     if verbose:
         mix = ", ".join(f"{n}/{wc.name}:{(assigned == pi).sum()}"
-                        for pi, (n, wc, _b, _t) in enumerate(passes))
+                        for pi, (n, wc, _b, _t, _m) in enumerate(passes))
         print(f"fastpath(twined): {n_fast}/{assigned.size} tiles fused"
               f" ({mix}), {len(spread)} taps")
     if n_fast == 0:
@@ -750,7 +925,7 @@ def render_fast(plan, sources, render_window_fn=None,
     n_zero = int((assigned == ZERO_PASS).sum())
     if verbose:
         used = {}
-        for pi, (name, wc, _box, _o) in enumerate(passes):
+        for pi, (name, wc, _box, _o, _m) in enumerate(passes):
             k = f"{name}/{wc.name}"
             used[k] = used.get(k, 0) + int((assigned == pi).sum())
         extra = f", {n_zero} empty" if n_zero else ""

@@ -193,6 +193,95 @@ def test_resample_into_extended_rows(degree):
     np.testing.assert_allclose(out6, ref, atol=5e-5)
 
 
+@pytest.mark.parametrize("degree", [1, 3])
+def test_resample_into_merge_mask(degree):
+    """merge_mask overlay: the kernel writes only mask>0.5 pixels and
+    keeps the canvas's prior contents elsewhere (the cubemap
+    face-boundary merge path)."""
+    spl, coeffp, px, py, ref = _setup(degree)
+    stats = [np.asarray(s) for s in PR.tile_stats(px, py)]
+    nty, ntx = px.shape[0] // PR.TILE_H, px.shape[1] // PR.TILE_W
+    tiles = _compact_tiles(stats, nty, ntx, degree, PR.LOCAL,
+                           coeffp.shape[1], coeffp.shape[2])
+    prior = jnp.asarray(
+        RNG.uniform(2, 3, (coeffp.shape[0],) + px.shape), jnp.float32)
+    mrng = np.random.default_rng(11)
+    mask = (mrng.uniform(size=px.shape) < 0.6).astype(np.float32)
+    out = PR.resample_planar_into(prior, coeffp, px, py,
+                                  jnp.asarray(tiles), degree=degree,
+                                  wc=PR.LOCAL, interpret=True,
+                                  merge_mask=jnp.asarray(mask))
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    pm = np.moveaxis(np.asarray(prior), 0, -1)
+    keep = mask <= 0.5
+    np.testing.assert_allclose(out[keep], pm[keep], atol=0)
+    np.testing.assert_allclose(out[~keep], ref[~keep], atol=5e-5)
+
+
+def test_resample_twined_into_merge_mask():
+    spl, coeffp, px, py, _ref = _setup(3)
+    spread = ((-0.5, -0.25, 0.3), (0.0, 0.0, 0.4), (0.5, 0.25, 0.3))
+    dux = jnp.full(px.shape, 0.6, jnp.float32)
+    duy = jnp.full(px.shape, 0.1, jnp.float32)
+    dvx = jnp.full(px.shape, -0.1, jnp.float32)
+    dvy = jnp.full(px.shape, 0.5, jnp.float32)
+    cmx = max(abs(c[0]) for c in spread)
+    cmy = max(abs(c[1]) for c in spread)
+    mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+    my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+    stats = PR.tile_stats_range(px - mx, px + mx, py - my, py + my)
+    nty, ntx = px.shape[0] // PR.TILE_H, px.shape[1] // PR.TILE_W
+    tiles = _compact_tiles([np.asarray(s) for s in stats], nty, ntx,
+                           3, PR.LOCAL, coeffp.shape[1],
+                           coeffp.shape[2])
+    spread_flat = jnp.asarray(np.asarray(spread, np.float32).ravel())
+    prior = jnp.asarray(
+        RNG.uniform(2, 3, (coeffp.shape[0],) + px.shape), jnp.float32)
+    mrng = np.random.default_rng(13)
+    mask = (mrng.uniform(size=px.shape) < 0.6).astype(np.float32)
+    out = PR.resample_twined_into(prior, coeffp, px, py, dux, duy,
+                                  dvx, dvy, jnp.asarray(tiles),
+                                  spread_flat, degree=3, n_taps=3,
+                                  wc=PR.LOCAL, interpret=True,
+                                  merge_mask=jnp.asarray(mask))
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    ref = None
+    for cx, cy, wgt in spread:
+        v = S.eval_spline(spl, px + cx * dux + cy * dvx - spl.pad,
+                          py + cx * duy + cy * dvy - spl.pad,
+                          apply_gate=False)
+        ref = wgt * v if ref is None else ref + wgt * v
+    pm = np.moveaxis(np.asarray(prior), 0, -1)
+    keep = mask <= 0.5
+    np.testing.assert_allclose(out[keep], pm[keep], atol=0)
+    np.testing.assert_allclose(out[~keep], np.asarray(ref)[~keep],
+                               atol=5e-5)
+
+
+def test_masked_coord_fill_budgets():
+    """The fill never widens a vreg's span (clamped to the valid
+    range) and valid pixels pass through untouched."""
+    h, w = 128, 256
+    rng = np.random.default_rng(3)
+    a = (100 + 0.7 * np.tile(np.arange(w), (h, 1))
+         + rng.normal(0, 0.3, (h, w))).astype(np.float32)
+    mask = rng.uniform(size=(h, w)) < 0.3
+    mask[:, 64:] = False  # lanes with no valid pixels force the fit
+    filled = np.asarray(PR.masked_coord_fill(jnp.asarray(a),
+                                             jnp.asarray(mask)))
+    np.testing.assert_array_equal(filled[mask], a[mask])
+    va = a.reshape(h // 8, 8, w // 128, 128)
+    vf = filled.reshape(h // 8, 8, w // 128, 128)
+    vm = mask.reshape(h // 8, 8, w // 128, 128)
+    for i in range(va.shape[0]):
+        for j in range(va.shape[2]):
+            if vm[i, :, j, :].any():
+                lo = va[i, :, j, :][vm[i, :, j, :]].min()
+                hi = va[i, :, j, :][vm[i, :, j, :]].max()
+                assert vf[i, :, j, :].min() >= lo - 1e-4
+                assert vf[i, :, j, :].max() <= hi + 1e-4
+
+
 def test_resample_twined_into_extended_rows():
     spl, coeffp, px, py, _ref = _setup(3)
     spread = ((-0.5, -0.25, 0.3), (0.0, 0.0, 0.4), (0.5, 0.25, 0.3))

@@ -254,7 +254,7 @@ def test_stitch_classification_covers_most_tiles():
         assert n_unfused <= 6, \
             f"facet {fi}: {n_unfused}/{n_cov} tiles not classified"
         # the STEEP last-resort class must be doing its job
-        assert any(wc is PR.STEEP for _n, wc, _b, _t in passes), \
+        assert any(wc is PR.STEEP for _n, wc, _b, _t, _m in passes), \
             f"facet {fi}: STEEP pass missing"
 
 

@@ -80,12 +80,12 @@ def main():
     basis = FP._basis_arg(plan, 0)
 
     print("pass mix:")
-    for pi, (name, wc, box, tiles) in enumerate(passes):
+    for pi, (name, wc, box, tiles, _m) in enumerate(passes):
         print(f"  {pi}: {name}/{wc.name} box={box} nt={tiles.shape[0]}")
 
     # 1. coords per pass (what the fused frame recomputes per pass)
     total_coords = 0.0
-    for pi, (name, wc, box, tiles) in enumerate(passes):
+    for pi, (name, wc, box, tiles, _m) in enumerate(passes):
         bwin = FP._box_window(window, box)
 
         def f_coords(carry, b):
@@ -101,7 +101,7 @@ def main():
     # 2. kernel per pass (static coords, eps defeats hoisting)
     total_kern = 0.0
     canvas = jnp.zeros((3, plan.height, plan.width), jnp.float32)
-    for pi, (name, wc, box, tiles) in enumerate(passes):
+    for pi, (name, wc, box, tiles, _m) in enumerate(passes):
         bwin = FP._box_window(window, box)
         c0 = FP._coords(geom, bwin, name, src, 0, (0.0, 0.0), basis)
         sx, sy = jax.block_until_ready((c0[0], c0[1]))

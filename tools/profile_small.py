@@ -72,7 +72,7 @@ def main():
     passes, assigned = FP.plan_passes(plan, src, window,
                                       FP.DEFAULT_CLASSES)
     print("passes:", [(n, wc.name, t.shape[0])
-                      for n, wc, _b, t in passes])
+                      for n, wc, _b, t, _m in passes])
     geom = FP._geom_static(plan)
     basis = FP._basis_arg(plan, 0)
 
@@ -87,14 +87,14 @@ def main():
     c0 = FP._coords(geom, window, "orig", src, 0, (0.0, 0.0), basis)
     sx, sy = jax.block_until_ready((c0[0], c0[1]))
     coeffs = {}
-    for name, wc, box, tiles in passes:
+    for name, wc, box, tiles, _m in passes:
         if name not in coeffs:
             coeffs[name] = jnp.moveaxis(
                 FP._variant_spline(src, name).coeff, -1, 0)
 
     def f_kern(carry, a, b):
         canvas = jnp.zeros((3, 1152, 1920), jnp.float32)
-        for pi, (name, wc, box, tiles) in enumerate(passes):
+        for pi, (name, wc, box, tiles, _m) in enumerate(passes):
             canvas = PR.resample_planar_into(
                 canvas, coeffs[name], a + carry * 1e-30, b,
                 jnp.asarray(tiles), degree=1, wc=wc,

@@ -67,7 +67,7 @@ def main():
         frame, st, assigned, passes, key = FP._frame_builder(
             plan, src, window, fi=fi)
         mix = ", ".join(f"{n}/{wc.name}:{(assigned == pi).sum()}"
-                        for pi, (n, wc, _b, _t) in enumerate(passes))
+                        for pi, (n, wc, _b, _t, _m) in enumerate(passes))
         print(f"facet {fi}: unfused={(assigned == -1).sum()} "
               f"({mix})")
         fn = jax.jit(frame)
