@@ -127,185 +127,255 @@ def main():
             args.twine_setup()
         return args, build_plan(args, args.facets)
 
-    # ---- config 4b: TRUE 16K twining downscale (bf16 coefficients) --
-    # runs FIRST: the 16K build needs headroom other configs' live
-    # buffers would fragment away
-    # the BASELINE '16K -> 2K' config: bfloat16 coefficient storage
-    # keeps the four variant tables at ~3.2GB total on one chip
-    fct16, src16 = make_env_source(16384, 8192, 1, coeff="bf16")
-    window4b = (0, 1280, 0, 2048)
-    args4b, plan4b = make_plan(fct16, Projection.RECTILINEAR, 2048,
-                               1280, 100, 1, twine=-1)
-    bias = 1.0 / ST.DERIV_BIAS
-    spread_b = tuple((bias * cx, bias * cy, w)
-                     for cx, cy, w in args4b.twine_spread)
-    frame_b, state_b, assigned_b, _p = FP.fused_frame(
-        plan4b, src16, window4b, spread=spread_b)
-    mpix = _timeit_frame(frame_b, (state_b,), 2048 * 1280)
-    _report(f"16K equirect (bf16 coeff) -> 2048x1280 rectilinear, "
-            f"fused twining ({len(spread_b)} taps)", mpix,
-            f"{(assigned_b >= 0).mean():.0%} fused")
-    del src16, state_b
+    shared = {}
+
+    def cfg_4b():
+        # ---- config 4b: TRUE 16K twining downscale (bf16 coefficients) --
+        # runs FIRST: the 16K build needs headroom other configs' live
+        # buffers would fragment away
+        # the BASELINE '16K -> 2K' config: bfloat16 coefficient storage
+        # keeps the four variant tables at ~3.2GB total on one chip
+        fct16, src16 = make_env_source(16384, 8192, 1, coeff="bf16")
+        window4b = (0, 1280, 0, 2048)
+        args4b, plan4b = make_plan(fct16, Projection.RECTILINEAR, 2048,
+                                   1280, 100, 1, twine=-1)
+        bias = 1.0 / ST.DERIV_BIAS
+        spread_b = tuple((bias * cx, bias * cy, w)
+                         for cx, cy, w in args4b.twine_spread)
+        frame_b, state_b, assigned_b, _p = FP.fused_frame(
+            plan4b, src16, window4b, spread=spread_b)
+        mpix = _timeit_frame(frame_b, (state_b,), 2048 * 1280)
+        _report(f"16K equirect (bf16 coeff) -> 2048x1280 rectilinear, "
+                f"fused twining ({len(spread_b)} taps)", mpix,
+                f"{(assigned_b >= 0).mean():.0%} fused")
+        del src16, state_b
 
 
-    # ---- config 1: 4K latlon -> HD rectilinear, bilinear ------------
-    fct, src = make_env_source(4096, 2048, 1)
-    _, plan = make_plan(fct, Projection.RECTILINEAR, 1920, 1152, 90, 1,
-                        yaw=30)
-    window = (0, 1152, 0, 1920)
-    frame, state, assigned, _p = FP.fused_frame(plan, src, window)
-    mpix = _timeit_frame(frame, (state,), 1920 * 1152)
-    _report("4K latlon -> 1920x1152 rectilinear bilinear", mpix,
-            f"{(assigned >= 0).mean():.0%} fused")
+    def cfg_4c():
+        # ---- config 4c: the same downscale with --twine_pyramid ---------
+        # the production minify mode: twine_setup box-decimates the facet
+        # until the residual minification is in [0.5, 1), so the source
+        # shrinks to 16K >> L and the auto twine to <= 2x2 taps
+        argsp = Args()
+        argsp.projection = Projection.RECTILINEAR
+        argsp.width, argsp.height = 2048, 1280
+        argsp.hfov = math.radians(100)
+        argsp.extent = get_extent(Projection.RECTILINEAR, 2048, 1280,
+                                  argsp.hfov)
+        argsp.step = (argsp.extent.x1 - argsp.extent.x0) / 2048
+        argsp.twine_pyramid = True
+        fdum = Facet(facet_no=0, nchannels=3)
+        fdum.set_geometry(Projection.SPHERICAL, 16384, 8192, 2 * math.pi)
+        fdum.process_geometry()
+        argsp.facets = [fdum]
+        argsp.twine_setup()
+        lvl = fdum.pyramid_level
+        fctp, srcp = make_env_source(16384 >> lvl, 8192 >> lvl, 1)
+        args4c, plan4c = make_plan(fctp, Projection.RECTILINEAR, 2048,
+                                   1280, 100, 1, twine=-1)
+        bias = 1.0 / ST.DERIV_BIAS
+        spread_c = tuple((bias * cx, bias * cy, w)
+                         for cx, cy, w in args4c.twine_spread)
+        frame_c, state_c, assigned_c, _p = FP.fused_frame(
+            plan4c, srcp, (0, 1280, 0, 2048), spread=spread_c)
+        mpix = _timeit_frame(frame_c, (state_c,), 2048 * 1280)
+        _report(f"16K equirect -> 2048x1280 rectilinear, --twine_pyramid "
+                f"(level {lvl}, {len(spread_c)} taps)", mpix,
+                f"{(assigned_c >= 0).mean():.0%} fused")
+        del srcp, state_c
 
-    # ---- config 3: biatan6 cubemap -> stereographic sweep -----------
-    faces = np.stack([np.random.rand(1024, 1024, 3).astype(np.float32)
-                      for _ in range(6)])
-    cfct = Facet(facet_no=0, nchannels=3)
-    cfct.set_geometry(Projection.BIATAN6, 1024, 6144,
-                      math.radians(100))
-    cfct.step = get_step(Projection.BIATAN6, 1024, 6144,
-                         math.radians(100))
-    cfct.process_geometry()
-    csrc = CBM.make_cubemap_source(cfct, faces, 3, 3, 128, 64)
-    csrc.variants.update(CBM.section_splines(csrc.spl, csrc.static.metrics))
-    jax.block_until_ready(csrc.spl.coeff)
-    _, plan3 = make_plan(cfct, Projection.STEREOGRAPHIC, 1920, 1152,
-                         150, 3, yaw=35, pitch=20)
-    window3 = (0, 1152, 0, 1920)
-    frame, state, assigned, _p = FP.fused_frame(plan3, csrc, window3)
-    mpix = _timeit_frame(frame, (state,), 1920 * 1152)
-    _report("biatan6(fov100) -> 1920x1152 stereographic deg-3 "
-            "(yaw35/pitch20)", mpix,
-            f"{(assigned >= 0).mean():.0%} fused")
 
-    # ---- config 4: twining downscale 8K -> 2K -----------------------
-    fct8, src8 = make_env_source(8192, 4096, 1)
-    args4, plan4 = make_plan(fct8, Projection.RECTILINEAR, 2048, 1280,
-                             100, 1, twine=-1)
-    bias = 1.0 / ST.DERIV_BIAS
-    spread = tuple((bias * cx, bias * cy, w)
-                   for cx, cy, w in args4.twine_spread)
-    window4 = (0, 1280, 0, 2048)
-    frame, state, assigned, _p = FP.fused_frame(plan4, src8, window4,
-                                                spread=spread)
-    mpix = _timeit_frame(frame, (state,), 2048 * 1280)
-    _report(f"8K equirect -> 2048x1280 rectilinear, fused twining "
-            f"({len(spread)} taps)", mpix,
-            f"{(assigned >= 0).mean():.0%} fused")
 
-    # ---- config 5: 3-facet voronoi stitch ----------------------------
-    # three rectilinear facets at different yaws, stitched into a 4K
-    # pano (facet angular resolution ~2.8x the pano's: the MINIFY
-    # class territory)
-    f_imgs = [np.random.rand(1536, 2048, 3).astype(np.float32)
-              for _ in range(3)]
-    facets, srcs = [], []
-    for i, yaw in enumerate((-40.0, 0.0, 40.0)):
-        f = Facet(facet_no=i, nchannels=3)
-        f.set_geometry(Projection.RECTILINEAR, 2048, 1536,
-                       math.radians(65))
-        f.step = get_step(Projection.RECTILINEAR, 2048, 1536,
-                          math.radians(65))
-        f.yaw = math.radians(yaw)
-        f.process_geometry()
-        facets.append(f)
-        srcs.append(jax.device_put(
-            E.make_mount_source(f, f_imgs[i], 3, 3)))
-    args5, plan5 = make_plan(facets[0], Projection.SPHERICAL, 4096,
-                             2048, 360, 3, facets=facets, solo=-1)
-    window5 = (0, 2048, 0, 4096)
-    frame5, states, assigneds, _pl = FP.fused_multi_frame(
-        plan5, srcs, window5)
-    fracs = [(a >= 0).sum() / max(int((a != FP.ZERO_PASS).sum()), 1)
-             for a in assigneds]
+    def cfg_1():
+        # ---- config 1: 4K latlon -> HD rectilinear, bilinear ------------
+        fct, src = make_env_source(4096, 2048, 1)
+        _, plan = make_plan(fct, Projection.RECTILINEAR, 1920, 1152, 90, 1,
+                            yaw=30)
+        window = (0, 1152, 0, 1920)
+        frame, state, assigned, _p = FP.fused_frame(plan, src, window)
+        mpix = _timeit_frame(frame, (state,), 1920 * 1152)
+        _report("4K latlon -> 1920x1152 rectilinear bilinear", mpix,
+                f"{(assigned >= 0).mean():.0%} fused")
 
-    mpix = _timeit_frame(frame5, (tuple(states),), 4096 * 2048)
-    _report("3-facet voronoi stitch -> 4096x2048 equirect deg-3 "
-            "(one-jit frame)", mpix,
-            f">= {min(fracs):.0%} covered tiles fused per facet")
-    del srcs, states
 
-    # ---- config 2r: reverse direction (cubemap -> 8K equirect) ------
-    faces2 = np.stack([np.random.rand(2048, 2048, 3)
-                       .astype(np.float32) for _ in range(6)])
-    cfct2 = Facet(facet_no=0, nchannels=3)
-    cfct2.set_geometry(Projection.CUBEMAP, 2048, 6 * 2048,
-                       math.radians(90))
-    cfct2.step = get_step(Projection.CUBEMAP, 2048, 6 * 2048,
-                          math.radians(90))
-    cfct2.process_geometry()
-    csrc2 = CBM.make_cubemap_source(cfct2, faces2, 3, 3, 128, 64)
-    csrc2.variants.update(CBM.section_splines(csrc2.spl, csrc2.static.metrics))
-    jax.block_until_ready(csrc2.spl.coeff)
-    _, plan2r = make_plan(cfct2, Projection.SPHERICAL, 8192, 4096,
-                          360, 3)
-    frame, state, assigned, _p = FP.fused_frame(
-        plan2r, csrc2, (0, 4096, 0, 8192))
-    mpix = _timeit_frame(frame, (state,), 8192 * 4096)
-    _report("6x2048 cubemap -> 8K equirect deg-3 (reverse headline)",
-            mpix, f"{(assigned >= 0).mean():.0%} fused")
+    def get_biatan6():
+        """Shared biatan6 IR source for configs 3 / 3b."""
+        if "biatan6" not in shared:
+            faces = np.stack([np.random.rand(1024, 1024, 3)
+                              .astype(np.float32) for _ in range(6)])
+            cfct = Facet(facet_no=0, nchannels=3)
+            cfct.set_geometry(Projection.BIATAN6, 1024, 6144,
+                              math.radians(100))
+            cfct.step = get_step(Projection.BIATAN6, 1024, 6144,
+                                 math.radians(100))
+            cfct.process_geometry()
+            csrc = CBM.make_cubemap_source(cfct, faces, 3, 3, 128, 64)
+            csrc.variants.update(
+                CBM.section_splines(csrc.spl, csrc.static.metrics))
+            jax.block_until_ready(csrc.spl.coeff)
+            shared["biatan6"] = (cfct, csrc)
+        return shared["biatan6"]
 
-    # ---- config 3b: biatan6 -> fisheye sweep ------------------------
-    _, plan3b = make_plan(cfct, Projection.FISHEYE, 1920, 1152, 170,
-                          3, yaw=-25, pitch=15)
-    frame, state, assigned, _p = FP.fused_frame(plan3b, csrc,
-                                                (0, 1152, 0, 1920))
-    mpix = _timeit_frame(frame, (state,), 1920 * 1152)
-    _report("biatan6(fov100) -> 1920x1152 fisheye(170) deg-3 "
-            "(yaw-25/pitch15)", mpix,
-            f"{(assigned >= 0).mean():.0%} fused")
-    del csrc2, state
+    def cfg_3():
+        # ---- config 3: biatan6 cubemap -> stereographic sweep -----------
+        cfct, csrc = get_biatan6()
+        _, plan3 = make_plan(cfct, Projection.STEREOGRAPHIC, 1920, 1152,
+                             150, 3, yaw=35, pitch=20)
+        window3 = (0, 1152, 0, 1920)
+        frame, state, assigned, _p = FP.fused_frame(plan3, csrc, window3)
+        mpix = _timeit_frame(frame, (state,), 1920 * 1152)
+        _report("biatan6(fov100) -> 1920x1152 stereographic deg-3 "
+                "(yaw35/pitch20)", mpix,
+                f"{(assigned >= 0).mean():.0%} fused")
 
-    # ---- config 5b: 6-facet voronoi + lens correction ---------------
-    facets6, srcs6 = [], []
-    for i in range(6):
-        f = Facet(facet_no=i, nchannels=3)
-        f.set_geometry(Projection.RECTILINEAR, 1536, 1152,
-                       math.radians(72))
-        f.step = get_step(Projection.RECTILINEAR, 1536, 1152,
-                          math.radians(72))
-        f.yaw = math.radians(60.0 * i)
-        f.a, f.b, f.c = 0.01, -0.02, 0.005
-        f.process_geometry()
-        facets6.append(f)
-        img6 = np.random.rand(1152, 1536, 3).astype(np.float32)
-        srcs6.append(jax.device_put(
-            E.make_mount_source(f, img6, 3, 3)))
-    _a, plan5b = make_plan(facets6[0], Projection.SPHERICAL, 4096,
-                           2048, 360, 3, facets=facets6, solo=-1)
-    frame5b, states6, assigneds6, _pl = FP.fused_multi_frame(
-        plan5b, srcs6, (0, 2048, 0, 4096))
-    fr6 = [(a >= 0).sum() / max(int((a != FP.ZERO_PASS).sum()), 1)
-           for a in assigneds6]
-    mpix = _timeit_frame(frame5b, (tuple(states6),), 4096 * 2048)
-    _report("6-facet voronoi + lens correction -> 4096x2048 deg-3 "
-            "(one-jit)", mpix,
-            f">= {min(fr6):.0%} covered tiles fused per facet")
-    del srcs6, states6
 
-    # ---- config 5c: 3-bracket HDR merge -----------------------------
-    facets_h, srcs_h = [], []
-    for i, eev in enumerate((-2.0, 0.0, 2.0)):
-        f = Facet(facet_no=i, nchannels=3)
-        f.set_geometry(Projection.SPHERICAL, 4096, 2048, 2 * math.pi)
-        f.step = get_step(Projection.SPHERICAL, 4096, 2048,
-                          2 * math.pi)
-        f.process_geometry()
-        facets_h.append(f)
-        img_h = (np.random.rand(2048, 4096, 3).astype(np.float32)
-                 * 2.0 ** eev)
-        s = E.make_mount_source(f, img_h, 3, 3)
-        import dataclasses as _dc
-        s.static = _dc.replace(s.static, brighten=2.0 ** -eev)
-        srcs_h.append(jax.device_put(s))
-    args_h, plan_h = make_plan(facets_h[0], Projection.SPHERICAL,
-                               4096, 2048, 360, 3, facets=facets_h,
-                               solo=-1, synopsis="hdr_merge")
-    frame_h, states_h, assigneds_h, _pl = FP.fused_multi_frame(
-        plan_h, srcs_h, (0, 2048, 0, 4096))
-    mpix = _timeit_frame(frame_h, (tuple(states_h),), 4096 * 2048)
-    _report("3-bracket HDR merge -> 4096x2048 deg-3 (one-jit)", mpix)
+    def cfg_4():
+        # ---- config 4: twining downscale 8K -> 2K -----------------------
+        fct8, src8 = make_env_source(8192, 4096, 1)
+        args4, plan4 = make_plan(fct8, Projection.RECTILINEAR, 2048, 1280,
+                                 100, 1, twine=-1)
+        bias = 1.0 / ST.DERIV_BIAS
+        spread = tuple((bias * cx, bias * cy, w)
+                       for cx, cy, w in args4.twine_spread)
+        window4 = (0, 1280, 0, 2048)
+        frame, state, assigned, _p = FP.fused_frame(plan4, src8, window4,
+                                                    spread=spread)
+        mpix = _timeit_frame(frame, (state,), 2048 * 1280)
+        _report(f"8K equirect -> 2048x1280 rectilinear, fused twining "
+                f"({len(spread)} taps)", mpix,
+                f"{(assigned >= 0).mean():.0%} fused")
+
+
+    def cfg_5():
+        # ---- config 5: 3-facet voronoi stitch ----------------------------
+        # three rectilinear facets at different yaws, stitched into a 4K
+        # pano (facet angular resolution ~2.8x the pano's: the MINIFY
+        # class territory)
+        f_imgs = [np.random.rand(1536, 2048, 3).astype(np.float32)
+                  for _ in range(3)]
+        facets, srcs = [], []
+        for i, yaw in enumerate((-40.0, 0.0, 40.0)):
+            f = Facet(facet_no=i, nchannels=3)
+            f.set_geometry(Projection.RECTILINEAR, 2048, 1536,
+                           math.radians(65))
+            f.step = get_step(Projection.RECTILINEAR, 2048, 1536,
+                              math.radians(65))
+            f.yaw = math.radians(yaw)
+            f.process_geometry()
+            facets.append(f)
+            srcs.append(jax.device_put(
+                E.make_mount_source(f, f_imgs[i], 3, 3)))
+        args5, plan5 = make_plan(facets[0], Projection.SPHERICAL, 4096,
+                                 2048, 360, 3, facets=facets, solo=-1)
+        window5 = (0, 2048, 0, 4096)
+        frame5, states, assigneds, _pl = FP.fused_multi_frame(
+            plan5, srcs, window5)
+        fracs = [(a >= 0).sum() / max(int((a != FP.ZERO_PASS).sum()), 1)
+                 for a in assigneds]
+
+        mpix = _timeit_frame(frame5, (tuple(states),), 4096 * 2048)
+        _report("3-facet voronoi stitch -> 4096x2048 equirect deg-3 "
+                "(one-jit frame)", mpix,
+                f">= {min(fracs):.0%} covered tiles fused per facet")
+        del srcs, states
+
+
+    def cfg_2r():
+        # ---- config 2r: reverse direction (cubemap -> 8K equirect) ------
+        faces2 = np.stack([np.random.rand(2048, 2048, 3)
+                           .astype(np.float32) for _ in range(6)])
+        cfct2 = Facet(facet_no=0, nchannels=3)
+        cfct2.set_geometry(Projection.CUBEMAP, 2048, 6 * 2048,
+                           math.radians(90))
+        cfct2.step = get_step(Projection.CUBEMAP, 2048, 6 * 2048,
+                              math.radians(90))
+        cfct2.process_geometry()
+        csrc2 = CBM.make_cubemap_source(cfct2, faces2, 3, 3, 128, 64)
+        csrc2.variants.update(CBM.section_splines(csrc2.spl, csrc2.static.metrics))
+        jax.block_until_ready(csrc2.spl.coeff)
+        _, plan2r = make_plan(cfct2, Projection.SPHERICAL, 8192, 4096,
+                              360, 3)
+        frame, state, assigned, _p = FP.fused_frame(
+            plan2r, csrc2, (0, 4096, 0, 8192))
+        mpix = _timeit_frame(frame, (state,), 8192 * 4096)
+        _report("6x2048 cubemap -> 8K equirect deg-3 (reverse headline)",
+                mpix, f"{(assigned >= 0).mean():.0%} fused")
+
+
+    def cfg_3b():
+        # ---- config 3b: biatan6 -> fisheye sweep ------------------------
+        cfct, csrc = get_biatan6()
+        _, plan3b = make_plan(cfct, Projection.FISHEYE, 1920, 1152, 170,
+                              3, yaw=-25, pitch=15)
+        frame, state, assigned, _p = FP.fused_frame(plan3b, csrc,
+                                                    (0, 1152, 0, 1920))
+        mpix = _timeit_frame(frame, (state,), 1920 * 1152)
+        _report("biatan6(fov100) -> 1920x1152 fisheye(170) deg-3 "
+                "(yaw-25/pitch15)", mpix,
+                f"{(assigned >= 0).mean():.0%} fused")
+
+
+    def cfg_5b():
+        # ---- config 5b: 6-facet voronoi + lens correction ---------------
+        facets6, srcs6 = [], []
+        for i in range(6):
+            f = Facet(facet_no=i, nchannels=3)
+            f.set_geometry(Projection.RECTILINEAR, 1536, 1152,
+                           math.radians(72))
+            f.step = get_step(Projection.RECTILINEAR, 1536, 1152,
+                              math.radians(72))
+            f.yaw = math.radians(60.0 * i)
+            f.a, f.b, f.c = 0.01, -0.02, 0.005
+            f.process_geometry()
+            facets6.append(f)
+            img6 = np.random.rand(1152, 1536, 3).astype(np.float32)
+            srcs6.append(jax.device_put(
+                E.make_mount_source(f, img6, 3, 3)))
+        _a, plan5b = make_plan(facets6[0], Projection.SPHERICAL, 4096,
+                               2048, 360, 3, facets=facets6, solo=-1)
+        frame5b, states6, assigneds6, _pl = FP.fused_multi_frame(
+            plan5b, srcs6, (0, 2048, 0, 4096))
+        fr6 = [(a >= 0).sum() / max(int((a != FP.ZERO_PASS).sum()), 1)
+               for a in assigneds6]
+        mpix = _timeit_frame(frame5b, (tuple(states6),), 4096 * 2048)
+        _report("6-facet voronoi + lens correction -> 4096x2048 deg-3 "
+                "(one-jit)", mpix,
+                f">= {min(fr6):.0%} covered tiles fused per facet")
+        del srcs6, states6
+
+
+    def cfg_5c():
+        # ---- config 5c: 3-bracket HDR merge -----------------------------
+        facets_h, srcs_h = [], []
+        for i, eev in enumerate((-2.0, 0.0, 2.0)):
+            f = Facet(facet_no=i, nchannels=3)
+            f.set_geometry(Projection.SPHERICAL, 4096, 2048, 2 * math.pi)
+            f.step = get_step(Projection.SPHERICAL, 4096, 2048,
+                              2 * math.pi)
+            f.process_geometry()
+            facets_h.append(f)
+            img_h = (np.random.rand(2048, 4096, 3).astype(np.float32)
+                     * 2.0 ** eev)
+            s = E.make_mount_source(f, img_h, 3, 3)
+            import dataclasses as _dc
+            s.static = _dc.replace(s.static, brighten=2.0 ** -eev)
+            srcs_h.append(jax.device_put(s))
+        args_h, plan_h = make_plan(facets_h[0], Projection.SPHERICAL,
+                                   4096, 2048, 360, 3, facets=facets_h,
+                                   solo=-1, synopsis="hdr_merge")
+        frame_h, states_h, assigneds_h, _pl = FP.fused_multi_frame(
+            plan_h, srcs_h, (0, 2048, 0, 4096))
+        mpix = _timeit_frame(frame_h, (tuple(states_h),), 4096 * 2048)
+        _report("3-bracket HDR merge -> 4096x2048 deg-3 (one-jit)", mpix)
+
+
+
+
+    only = [a for a in sys.argv[1:] if not a.startswith('-')]
+    configs = [('4b', cfg_4b), ('4c', cfg_4c), ('1', cfg_1), ('3', cfg_3), ('4', cfg_4), ('5', cfg_5), ('2r', cfg_2r), ('3b', cfg_3b), ('5b', cfg_5b), ('5c', cfg_5c)]
+    for tag, fn in configs:
+        if not only or tag in only:
+            fn()
 
 
 if __name__ == "__main__":

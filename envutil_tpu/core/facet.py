@@ -86,6 +86,11 @@ class Facet:
     pto_masks: List[PtoMask] = dataclasses.field(default_factory=list)
     masked: int = -1     # -1 normal; 0/1 = paint black/white (--mask_for)
     brighten: float = 1.0
+    # --twine_pyramid: number of 2x box-decimation levels applied to
+    # this facet's pixel data at load (Args.twine_setup chooses the
+    # level so the residual minification lands in [0.5, 1); the
+    # geometry fields above are already the decimated ones)
+    pyramid_level: int = 0
 
     @property
     def x0(self): return self.extent.x0

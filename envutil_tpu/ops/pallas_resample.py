@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -505,26 +506,13 @@ def _dbuf_ok(wc: WindowClass, nch: int, itemsize: int = 4) -> bool:
     return nch * wc.win_h * wc.win_w * per_elem <= 11 * 2 ** 20
 
 
-def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
-                          sx_ref, sy_ref,     # (TILE_H, TILE_W) VMEM
-                          *rest,
-                          degree: int, wc: WindowClass, nch: int,
-                          nt: int, dbuf: bool, unroll: int,
-                          stride: int, merge: bool = False):
-    # merge=False: coeff, canvas (aliased output, unread), out
-    # merge=True:  mask (f32 TILE blocks), coeff, canvas-in (VMEM
-    #              blocks, aliased to the output), out - tile pixels
-    #              with mask <= 0.5 keep the canvas's prior contents
-    #              (per-pixel overlay for face-boundary tiles)
-    if merge:
-        mask_ref, coeff_ref, cin_ref, out_ref, *scratch = rest
-    else:
-        mask_ref = cin_ref = None
-        coeff_ref, _canvas_ref, out_ref, *scratch = rest
+def _load_tile_window(tiles_ref, coeff_ref, scratch, *, t, stride,
+                      wc: WindowClass, nch: int, nt: int, dbuf: bool):
+    """Shared window-DMA preamble of the compact-grid kernels: bring
+    tile ``t``'s coefficient window into VMEM (double-buffered when
+    the class fits two slots) and upcast bf16 storage to f32."""
     win_ref, sem = scratch[0], scratch[1]
     f32_ref = scratch[2] if len(scratch) > 2 else None
-    t = pl.program_id(0)
-    ext = stride >= TILE_ROW_INTS_EXT
 
     if dbuf:
         # two window slots: tile t+1's window DMA runs while tile t
@@ -566,6 +554,30 @@ def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
         for ch in range(nch):
             f32_ref[ch] = win[ch].astype(jnp.float32)
         win = f32_ref
+    return win
+
+
+def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
+                          sx_ref, sy_ref,     # (TILE_H, TILE_W) VMEM
+                          *rest,
+                          degree: int, wc: WindowClass, nch: int,
+                          nt: int, dbuf: bool, unroll: int,
+                          stride: int, merge: bool = False):
+    # merge=False: coeff, canvas (aliased output, unread), out
+    # merge=True:  mask (f32 TILE blocks), coeff, canvas-in (VMEM
+    #              blocks, aliased to the output), out - tile pixels
+    #              with mask <= 0.5 keep the canvas's prior contents
+    #              (per-pixel overlay for face-boundary tiles)
+    if merge:
+        mask_ref, coeff_ref, cin_ref, out_ref, *scratch = rest
+    else:
+        mask_ref = cin_ref = None
+        coeff_ref, _canvas_ref, out_ref, *scratch = rest
+    t = pl.program_id(0)
+    ext = stride >= TILE_ROW_INTS_EXT
+    win = _load_tile_window(tiles_ref, coeff_ref, scratch, t=t,
+                            stride=stride, wc=wc, nch=nch, nt=nt,
+                            dbuf=dbuf)
 
     oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
     oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
@@ -700,6 +712,231 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         input_output_aliases=alias,  # canvas (incl. scalar operand)
         interpret=interpret,
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# inline-coordinates variant: the whole coordinate chain (target planar
+# -> ray -> camera rotation -> source lon/lat -> spline affine -> gate)
+# runs INSIDE the kernel per row-block, so the per-frame XLA coordinate
+# passes and their sx/sy HBM round trip (25-40% of a solo frame)
+# disappear. The stepper affine rides in as tiny per-axis feature
+# arrays (host float64 axes, bit-identical to the XLA path's
+# planar_grid; for cubemap/biatan6 targets the per-face planar shift
+# and the biatan6 tan are folded into the y-axis array, since the face
+# is a function of the row alone - stepper._cubemap_target_rays), and
+# the traced camera rotation x per-face permutation rides in as a
+# (nfaces, 9) SMEM matrix table (in_face_to_ray as a 3x3 each,
+# geometry.h:577-637). Source side: spherical atan2 math
+# (ray_to_ll, geometry.h:277-301 - scale-invariant, so the rays skip
+# normalization), the model->spline affine and the PERIODIC/REFLECT
+# gates (zimt/eval.h:2003-2031) as a handful of VPU ops.
+# Classification still runs on the XLA coordinate pass at plan time;
+# in-kernel transcendentals differ from XLA's by ulps, which the
+# class budgets' rounding slack absorbs.
+# ---------------------------------------------------------------------------
+
+def _atan2(y, x):
+    """Branchless float32 atan2 for the inline-coordinates kernel
+    (Mosaic has no atan/atan2 primitive). Quadrant folding over a
+    minimax odd polynomial on [0, sqrt(2)-1] (the classic fdlibm
+    atanf coefficient set) with the a > sqrt(2)-1 range cut via
+    atan(a) = pi/4 + atan((a-1)/(a+1)); ~2 ulp vs XLA's atan2, i.e.
+    coordinate differences of ~1e-7 * image width."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    q = lo / jnp.maximum(hi, 1e-30)
+    red = q > 0.4142135624
+    t = jnp.where(red, (q - 1.0) / (q + 1.0), q)
+    s = t * t
+    p = 6.1687607318e-02
+    p = p * s - 1.0648017377e-01
+    p = p * s + 1.4253635705e-01
+    p = p * s - 1.9999158382e-01
+    p = p * s + 3.3333328366e-01
+    r = t - t * (s * p)
+    r = jnp.where(red, 0.78539816339744831 + r, r)
+    r = jnp.where(ay > ax, 1.5707963267948966 - r, r)
+    r = jnp.where(x < 0.0, math.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _gate_const(v, mode: str, lower: float, upper: float):
+    """In-kernel spline gate (ops/spline.gate with static bounds)."""
+    if mode == "periodic":
+        return lower + jnp.mod(v - lower, upper - lower)
+    if mode == "mirror":
+        period = 2.0 * (upper - lower)
+        t = jnp.mod(v - lower, period)
+        return lower + jnp.minimum(t, period - t)
+    return jnp.clip(v, lower, upper)
+
+
+def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
+                        xf_ref, yf_ref,         # axis-feature blocks
+                        bm_ref, eps_ref,        # SMEM
+                        coeff_ref,              # HBM/ANY
+                        _canvas_ref, out_ref, *scratch,
+                        degree: int, wc: WindowClass, nch: int,
+                        nt: int, dbuf: bool, unroll: int, stride: int,
+                        tmode: str, consts: tuple):
+    (kx, cx, ky, cy, gate_x, glx, gux, gate_y, gly, guy, pad) = consts
+    t = pl.program_id(0)
+    ext = stride >= TILE_ROW_INTS_EXT
+    win = _load_tile_window(tiles_ref, coeff_ref, scratch, t=t,
+                            stride=stride, wc=wc, nch=nch, nt=nt,
+                            dbuf=dbuf)
+    oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
+    oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
+    f = faces_ref[t]
+    bm = [bm_ref[f, k] for k in range(9)]
+    eps = eps_ref[0]
+
+    def row_body(r, _):
+        sl8 = pl.ds(r * 8, 8)
+        if tmode == "affine":
+            # rect/cubemap/biatan6 targets: ray = B @ (px, py', 1)
+            px = xf_ref[0]
+            py = yf_ref[0, sl8, :]
+            rx = bm[0] * px + bm[1] * py + bm[2]
+            ry = bm[3] * px + bm[4] * py + bm[5]
+            rz = bm[6] * px + bm[7] * py + bm[8]
+        elif tmode == "sph":
+            # spherical target: ray = B @ (sl*ct, st, cl*ct)
+            sl_, cl_ = xf_ref[0], xf_ref[1]
+            st_ = yf_ref[0, sl8, :]
+            ct_ = yf_ref[1, sl8, :]
+            ux = sl_ * ct_
+            uz = cl_ * ct_
+            rx = bm[0] * ux + bm[1] * st_ + bm[2] * uz
+            ry = bm[3] * ux + bm[4] * st_ + bm[5] * uz
+            rz = bm[6] * ux + bm[7] * st_ + bm[8] * uz
+        else:  # "cyl": ray = B @ (sin(az), y, cos(az))
+            sl_, cl_ = xf_ref[0], xf_ref[1]
+            uy = yf_ref[0, sl8, :]
+            rx = bm[0] * sl_ + bm[1] * uy + bm[2] * cl_
+            ry = bm[3] * sl_ + bm[4] * uy + bm[5] * cl_
+            rz = bm[6] * sl_ + bm[7] * uy + bm[8] * cl_
+
+        lon = _atan2(rx, rz)
+        lat = _atan2(ry, jnp.sqrt(rx * rx + rz * rz))
+        sx = _gate_const(lon * kx + cx, gate_x, glx, gux) + pad
+        sy = _gate_const(lat * ky + cy, gate_y, gly, guy) + pad
+        sx = sx + eps - oxf
+        sy = sy - oyf
+
+        if wc.shear_q:
+            base = t * stride + TILE_ROW_INTS + 4 * r
+            accs = _eval_row_block_sheared(
+                sx, sy, win, degree=degree, wc=wc, nch=nch,
+                rb0=pl.multiple_of(tiles_ref[base], 8),
+                cb0=pl.multiple_of(tiles_ref[base + 1], 128),
+                a_fix=tiles_ref[base + 2], b_fix=tiles_ref[base + 3],
+                col0=tiles_ref[t * stride + 5])
+        else:
+            rb0 = cb0 = None
+            if ext:
+                base = t * stride + TILE_ROW_INTS + 2 * r
+                rb0 = pl.multiple_of(tiles_ref[base], 8)
+                cb0 = pl.multiple_of(tiles_ref[base + 1], 128)
+            accs = _eval_row_block(sx, sy, win, degree=degree, wc=wc,
+                                   nch=nch, rb0=rb0, cb0=cb0)
+        for ch in range(nch):
+            out_ref[ch, sl8, :] = accs[ch]
+        return _
+
+    jax.lax.fori_loop(0, TILE_H // 8, row_body, 0,
+                      unroll=(TILE_H // 8) if unroll else 1)
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "wc",
+                                             "interpret", "unroll",
+                                             "tmode", "consts"))
+def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
+                         tiles: jnp.ndarray, faces: jnp.ndarray,
+                         xfeat: jnp.ndarray, yfeat: jnp.ndarray,
+                         bmats: jnp.ndarray, eps, *, degree: int,
+                         tmode: str, consts: tuple,
+                         wc: WindowClass = LOCAL,
+                         interpret: bool = False,
+                         unroll: bool = False) -> jnp.ndarray:
+    """resample_planar_into with the coordinate chain fused into the
+    kernel (see the section comment above). Operands beyond the shared
+    ones:
+
+    - ``faces``: int32 (nt,) per-tile row index into ``bmats`` (the
+      cube face for cubemap/biatan6 targets, 0 otherwise).
+    - ``xfeat``: float32 (Fx, 8, W) x-axis features replicated over
+      the 8 sublanes (affine: planar x; sph/cyl: sin/cos of azimuth).
+    - ``yfeat``: float32 (Fy, H, 128) y-axis features replicated over
+      the 128 lanes (affine: per-face-shifted planar y; sph: sin/cos
+      of elevation; cyl: planar y).
+    - ``bmats``: float32 (nfaces, 9) traced rotation (x per-face
+      in_face permutation) matrices, row-major.
+    - ``eps``: float32 (1,) coordinate offset (0; benchmark loops pass
+      a vanishing carry-dependent value to defeat hoisting).
+    - ``consts``: static (kx, cx, ky, cy, gate_x, glx, gux, gate_y,
+      gly, guy, pad) - the model->spline affine and gate bounds."""
+    nch, hp, wp = coeff.shape
+    ha, wa = aligned_dims(hp, wp, wc)
+    if (ha, wa) != (hp, wp):
+        coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
+                        mode="edge")
+        nch, hp, wp = coeff.shape
+    bf16 = coeff.dtype == jnp.bfloat16
+    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
+    nt, stride = tiles.shape
+    if wc.shear_q:
+        assert stride == TILE_ROW_INTS_SHEAR, \
+            "sheared classes need row_block_shear extended tile rows"
+
+    scratch = [
+        pltpu.VMEM(((2,) if dbuf else ()) +
+                   (nch, wc.win_h, wc.win_w), coeff.dtype),
+        pltpu.SemaphoreType.DMA((2,)) if dbuf
+        else pltpu.SemaphoreType.DMA,
+    ]
+    if bf16:
+        scratch.append(pltpu.VMEM((nch, wc.win_h, wc.win_w),
+                                  jnp.float32))
+
+    nfx = xfeat.shape[0]
+    nfy = yfeat.shape[0]
+    in_specs = [
+        pl.BlockSpec((nfx, 8, TILE_W),
+                     lambda t, o, f: (0, 0, o[t * stride + 3]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nfy, TILE_H, 128),
+                     lambda t, o, f: (0, o[t * stride + 2], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (nch, TILE_H, TILE_W),
+            lambda t, o, f: (0, o[t * stride + 2],
+                             o[t * stride + 3]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    kern = functools.partial(_inline_kernel_into, degree=degree,
+                             wc=wc, nch=nch, nt=nt, dbuf=dbuf,
+                             unroll=unroll, stride=stride,
+                             tmode=tmode, consts=consts)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
+        input_output_aliases={7: 0},  # canvas (incl. prefetch args)
+        interpret=interpret,
+    )(tiles.reshape(-1), faces, xfeat, yfeat, bmats,
+      jnp.asarray(eps, jnp.float32).reshape(1), coeff, canvas)
 
 
 # ---------------------------------------------------------------------------
@@ -1137,6 +1374,10 @@ def masked_coord_fill(a: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     h, w = a.shape
     va = a.reshape(h // 8, 8, w // 128, 128)
     vm = mask.reshape(h // 8, 8, w // 128, 128).astype(a.dtype)
+    # invalid pixels may hold inf/NaN (backward rays, grazing planar
+    # projections); zero them before the masked sums so 0 * NaN never
+    # poisons the fit
+    va = jnp.where(vm > 0, va, 0.0)
     lane = (jnp.arange(128, dtype=a.dtype) - 63.5)  # centered lanes
     cnt = vm.sum(axis=(1, 3), keepdims=True)
     safe = jnp.maximum(cnt, 1.0)

@@ -68,6 +68,7 @@ class Args(Facet):
     twf_file: str = ""
     twine_normalize: bool = False
     twine_precise: bool = False
+    twine_pyramid: bool = False
     precise: bool = False
     coeff_cache: str = ""
     coeff_dtype: str = "f32"
@@ -98,6 +99,40 @@ class Args(Facet):
     def as_facet(self) -> Facet:
         return self
 
+    def _apply_pyramid(self, f) -> None:
+        """Annotate one facet with its --twine_pyramid decimation level
+        and rewrite its geometry to the decimated size (the loader does
+        the pixel-data decimation, runtime/loader.py). Conservatively
+        restricted to plain full-window mount facets - PTO planar
+        transforms, masks, crops and cubemap IR keep full resolution."""
+        if (f.projection in (Projection.CUBEMAP, Projection.BIATAN6)
+                or f.masked != -1
+                or f.has_2d_tf or f.has_translation or f.has_lens_crop
+                or f.has_pto_mask or f.window_x_offset
+                or f.window_y_offset or f.window_width != f.width
+                or f.window_height != f.height):
+            return
+        mag_f = f.step / self.step
+        if mag_f >= 0.5:
+            return
+        level = int(math.floor(math.log2(1.0 / mag_f)))
+        while level > 0 and (f.width % (1 << level)
+                             or f.height % (1 << level)
+                             or f.width >> level < 64
+                             or f.height >> level < 64):
+            level -= 1
+        if level == 0:
+            return
+        f.pyramid_level = level
+        w, h = f.width >> level, f.height >> level
+        f.set_geometry(f.projection, w, h, f.hfov)
+        f.window_width, f.window_height = w, h
+        f.window_x_offset = f.window_y_offset = 0
+        if self.verbose:
+            print(f"twine_pyramid: facet {f.facet_no} decimated "
+                  f"{level}x2 to {w}x{h} (magnification "
+                  f"{mag_f:.3f} -> {f.step / self.step:.3f})")
+
     # -- twine parameterization (arguments::twine_setup,
     #    envutil_main.cc:1405-1616) ------------------------------------
     def twine_setup(self) -> None:
@@ -114,6 +149,26 @@ class Args(Facet):
             else:
                 smallest = min(f.step for f in self.facets)
             mag = smallest / self.step
+            if self.twine_pyramid and mag < 0.5 and self.single < 0:
+                # pyramid minification: box-decimate heavily minified
+                # facets at load time so the residual minification
+                # lands in [0.5, 1) and the twining filter shrinks to
+                # <= 2x2 taps over a window-local footprint. The
+                # decimation is itself the box prefilter the large
+                # twine kernel would otherwise approximate tap-wise;
+                # the rendered filter differs slightly from the
+                # reference's K-tap twine, so this is opt-in.
+                if self.nfacets == 1 or self.solo > 0:
+                    cands = [self.facets[max(self.solo, 0)]]
+                else:
+                    cands = self.facets
+                for f in cands:
+                    self._apply_pyramid(f)
+                if self.nfacets == 1 or self.solo > 0:
+                    smallest = self.facets[max(self.solo, 0)].step
+                else:
+                    smallest = min(f.step for f in self.facets)
+                mag = smallest / self.step
             if mag > 1.0:
                 if self.spline_degree > 1:
                     if self.nfacets > 1:
@@ -189,6 +244,11 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--twf_file", default="")
     ap.add_argument("--twine_normalize", action="store_true")
     ap.add_argument("--twine_precise", action="store_true")
+    ap.add_argument("--twine_pyramid", action="store_true",
+                    help="box-decimate heavily minified facets at load "
+                    "so automatic twining needs <= 2x2 taps (fast "
+                    "minification; slightly different filter than the "
+                    "reference's large twine kernel)")
     ap.add_argument("--precise", action="store_true",
                     help="disable approximate accelerations (pole-patch source copies)")
     ap.add_argument("--coeff_cache", default="", metavar="DIR",
@@ -424,6 +484,7 @@ def parse_args(argv: List[str]) -> Args:
     args.twine = ns.twine
     args.twine_normalize = ns.twine_normalize
     args.twine_precise = ns.twine_precise
+    args.twine_pyramid = ns.twine_pyramid
     args.precise = ns.precise
     args.coeff_cache = ns.coeff_cache
     args.coeff_dtype = ns.coeff_dtype

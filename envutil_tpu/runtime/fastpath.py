@@ -225,6 +225,16 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
         sx = sx + w / 2.0
     sx = S.gate(sx, spl.bcs[1], w) + spl.pad
     sy = S.gate(sy, spl.bcs[0], h) + spl.pad
+    if dom_neutral:
+        # merge-pass form for partial facets: pixels outside the
+        # facet's validity window are masked out by the kernel (and
+        # zeroed at finish); their planar coordinates blow up near the
+        # facet edge (grazing/backward rays) and would otherwise bust
+        # every window budget of edge tiles. Replace them with their
+        # vreg's valid-pixel linear fit so stats and kernel see the
+        # same bounded planes (see plan_passes' boundary phase).
+        sx = PR.masked_coord_fill(sx, mask)
+        sy = PR.masked_coord_fill(sy, mask)
     return sx, sy, mask, ray_z
 
 
@@ -339,7 +349,122 @@ def _box_window(window, box):
             x0 + tx0 * PR.TILE_W, x0 + tx1 * PR.TILE_W)
 
 
-def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
+# per-face in_face_to_ray as a linear map of (fx, fy, 1)
+# (geometry.in_face_to_ray / geometry.h:577-637)
+_FACE_P = np.asarray([
+    [[0, 0, -1], [0, 1, 0], [1, 0, 0]],    # LEFT
+    [[0, 0, 1], [0, 1, 0], [-1, 0, 0]],    # RIGHT
+    [[-1, 0, 0], [0, 0, -1], [0, -1, 0]],  # TOP
+    [[-1, 0, 0], [0, 0, 1], [0, 1, 0]],    # BOTTOM
+    [[1, 0, 0], [0, 1, 0], [0, 0, 1]],     # FRONT
+    [[-1, 0, 0], [0, 1, 0], [0, 0, -1]],   # BACK
+], np.float32)
+
+_INLINE_TARGETS = (Projection.RECTILINEAR, Projection.CUBEMAP,
+                   Projection.BIATAN6, Projection.SPHERICAL,
+                   Projection.CYLINDRICAL)
+
+
+def _gate_bounds(bc, n):
+    """(mode, lower, upper) of ops/spline.gate for the inline kernel."""
+    if bc == S.PERIODIC:
+        return ("periodic", -0.5, n - 0.5)
+    if bc == S.REFLECT:
+        return ("mirror", -0.5, n - 0.5)
+    if bc == S.MIRROR:
+        return ("mirror", 0.0, float(n - 1))
+    return ("clamp", 0.0, float(n - 1))
+
+
+@functools.lru_cache(maxsize=64)
+def _inline_setup(plan, window, name, core_shape, pad, bcs, statics):
+    """Host-side axis-feature arrays + static constants for an
+    inline-coordinates pass (PR.resample_inline_into), keyed on the
+    static geometry. ``statics`` is the hashable source static tuple
+    (total extent/size/window offsets). Returns (tmode, xfeat, yfeat,
+    P, consts) with xfeat (Fx, 8, W) and yfeat (Fy, H, 128) float32
+    numpy arrays built from the same float64 axes the XLA coordinate
+    pass uses."""
+    (tex0, tex1, tey0, tey1, tw, th, wxo, wyo) = statics
+    y0, y1, x0, x1 = window
+    ext = plan.extent
+    xs = ST.planar_axis(plan.width, ext.x0, ext.x1, 0.0, np.float64,
+                        x0, x1)
+    ys = ST.planar_axis(plan.height, ext.y0, ext.y1, 0.0, np.float64,
+                        y0, y1)
+
+    if plan.projection in (Projection.CUBEMAP, Projection.BIATAN6):
+        tmode = "affine"
+        section_md = ext.x1 - ext.x0
+        refc_md = section_md / 2.0
+        rows = np.arange(y0, y1)
+        face_of_row = np.clip(rows // plan.width, 0, 5)
+        p1 = ys + (3.0 - face_of_row) * section_md - refc_md
+        p0 = xs
+        if plan.projection == Projection.BIATAN6:
+            p0 = np.tan(p0 * (math.pi / 4.0))
+            p1 = np.tan(p1 * (math.pi / 4.0))
+        xf = [p0]
+        yf = [p1]
+        P = _FACE_P
+    elif plan.projection == Projection.RECTILINEAR:
+        tmode = "affine"
+        xf = [xs]
+        yf = [ys]
+        P = np.eye(3, dtype=np.float32)[None]
+    elif plan.projection == Projection.SPHERICAL:
+        tmode = "sph"
+        xf = [np.sin(xs), np.cos(xs)]
+        yf = [np.sin(ys), np.cos(ys)]
+        P = np.eye(3, dtype=np.float32)[None]
+    else:  # CYLINDRICAL
+        tmode = "cyl"
+        xf = [np.sin(xs), np.cos(xs)]
+        yf = [ys]
+        P = np.eye(3, dtype=np.float32)[None]
+
+    xfeat = np.broadcast_to(
+        np.stack([a.astype(np.float32) for a in xf])[:, None, :],
+        (len(xf), 8, xs.size)).copy()
+    yfeat = np.broadcast_to(
+        np.stack([a.astype(np.float32) for a in yf])[:, :, None],
+        (len(yf), ys.size, 128)).copy()
+
+    # model -> spline affine (environment._md_to_spline) composed with
+    # the variant rescale (oversampled pitched copies) and the rolled
+    # half-width shift, exactly as _coords applies them in sequence
+    h, w = core_shape
+    kxm = tw / (tex1 - tex0)
+    kym = th / (tey1 - tey0)
+    cx0 = -tex0 * kxm - 0.5 - wxo
+    cy0 = -tey0 * kym - 0.5 - wyo
+    rw = w / tw
+    rh = h / th
+    kx, cx = kxm * rw, (cx0 + 0.5) * rw - 0.5
+    ky, cy = kym * rh, (cy0 + 0.5) * rh - 0.5
+    if name.endswith("rolled"):
+        cx += w / 2.0
+    gate_x, glx, gux = _gate_bounds(bcs[1], w)
+    gate_y, gly, guy = _gate_bounds(bcs[0], h)
+    consts = (float(kx), float(cx), float(ky), float(cy),
+              gate_x, float(glx), float(gux),
+              gate_y, float(gly), float(guy), float(pad))
+    return tmode, xfeat, yfeat, P, consts
+
+
+def _inline_eligible(plan, src, fi, name, spread, merge):
+    """Can this pass run with the coordinate chain fused in-kernel?"""
+    return (spread is None and not merge
+            and src.static.kind == "mount"
+            and src.static.projection == Projection.SPHERICAL
+            and src.spl is not None and src.spl.spherical
+            and plan.planar_to_ray[fi] is None
+            and plan.projection in _INLINE_TARGETS
+            and not name.startswith("sec"))
+
+
+def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
+                masked_merge: bool = True):
     """Host-side pass planner: each (window class, variant) pair is
     only evaluated over the tile bounding box of the still-unassigned
     tiles, so the expensive coordinate passes for seam/pole variants
@@ -420,6 +545,41 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
 
     passes = []
     stats_cache = {}
+
+    def _dom_stats(name, box):
+        """Classifier statistics over ``box`` computed on dom_neutral
+        coordinates: pixels the pass will not write (other-face or
+        out-of-facet) are filled with their vreg's valid-pixel linear
+        fit, so only written pixels constrain the budgets."""
+        key = (name, box, "dom")
+        if key not in stats_cache:
+            spl = _variant_spline(src, name)
+            bwin = _box_window(window, box)
+            if spread is None:
+                sx, sy, _m, _z = _coords(geom, bwin, name, src, fi,
+                                         (0.0, 0.0), basis,
+                                         dom_neutral=True)
+                raw = PR.tile_stats_fit(sx, sy, spl.degree)
+            else:
+                c0 = _coords(geom, bwin, name, src, fi, (0.0, 0.0),
+                             basis, dom_neutral=True)
+                c10 = _coords(geom, bwin, name, src, fi,
+                              (ST.DERIV_BIAS, 0.0), basis,
+                              dom_neutral=True)
+                c01 = _coords(geom, bwin, name, src, fi,
+                              (0.0, ST.DERIV_BIAS), basis,
+                              dom_neutral=True)
+                dux, dvx = _deriv(c0[0], c10[0], c01[0])
+                duy, dvy = _deriv(c0[1], c10[1], c01[1])
+                cmx = max(abs(c[0]) for c in spread)
+                cmy = max(abs(c[1]) for c in spread)
+                mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+                my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+                raw = PR.tile_stats_fit_range(c0[0], c0[1], mx, my,
+                                              spl.degree)
+            stats_cache[key] = [np.asarray(s) for s in raw]
+        return stats_cache[key]
+
     for wc, name in order:
         rem = assigned == -1
         if not rem.any():
@@ -504,35 +664,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
                 return None
             if f not in cls_cache:
                 spl = _variant_spline(src, name)
-                key = (name, box, "dom")
-                if key not in stats_cache:
-                    bwin = _box_window(window, box)
-                    if spread is None:
-                        sx, sy, _m, _z = _coords(geom, bwin, name,
-                                                 src, fi, (0.0, 0.0),
-                                                 basis,
-                                                 dom_neutral=True)
-                        raw = PR.tile_stats_fit(sx, sy, spl.degree)
-                    else:
-                        c0 = _coords(geom, bwin, name, src, fi,
-                                     (0.0, 0.0), basis,
-                                     dom_neutral=True)
-                        c10 = _coords(geom, bwin, name, src, fi,
-                                      (ST.DERIV_BIAS, 0.0), basis,
-                                      dom_neutral=True)
-                        c01 = _coords(geom, bwin, name, src, fi,
-                                      (0.0, ST.DERIV_BIAS), basis,
-                                      dom_neutral=True)
-                        dux, dvx = _deriv(c0[0], c10[0], c01[0])
-                        duy, dvy = _deriv(c0[1], c10[1], c01[1])
-                        cmx = max(abs(c[0]) for c in spread)
-                        cmy = max(abs(c[1]) for c in spread)
-                        mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
-                        my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
-                        raw = PR.tile_stats_fit_range(
-                            c0[0], c0[1], mx, my, spl.degree)
-                    stats_cache[key] = [np.asarray(s) for s in raw]
-                stats = stats_cache[key]
+                stats = _dom_stats(name, box)
                 per_class = []
                 for wc in ladder:
                     origins, fast = PR.classify_tiles(
@@ -590,6 +722,51 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None):
                 if assigned[ty, tx] == -3:
                     assigned[ty, tx] = len(passes)
             passes.append((name, wc, box, tiles, True))
+
+    # masked boundary phase for partial mount facets: a facet-edge
+    # tile's out-of-facet pixels have grazing/backward planar
+    # coordinates that bust every window budget, although the pixels
+    # the facet actually covers are perfectly window-local. Re-run the
+    # ladder on dom_neutral coordinates (invalid pixels filled with
+    # their vreg's valid-pixel fit) and emit MERGE passes that write
+    # only the valid pixels - identical values to the exact path
+    # there, and the finish/synopsis masks never read the rest.
+    rem = assigned == -1
+    if masked_merge and not has_sec and rem.any() \
+            and src.spl is not None:
+        covm = np.asarray(mask).reshape(nty, PR.TILE_H, ntx,
+                                        PR.TILE_W)
+        partial = covm.any(axis=(1, 3)) & ~covm.all(axis=(1, 3))
+        for wc, name in order:
+            cand = (assigned == -1) & partial
+            if not cand.any():
+                break
+            ys, xs = np.nonzero(cand)
+            box = (int(ys.min()), int(ys.max()) + 1,
+                   int(xs.min()), int(xs.max()) + 1)
+            bty0, bty1, btx0, btx1 = box
+            bntx = btx1 - btx0
+            spl = _variant_spline(src, name)
+            stats = _dom_stats(name, box)
+            origins, fast = PR.classify_tiles(
+                stats, spl.coeff.shape[0], spl.coeff.shape[1],
+                spl.degree, wc)
+            take = fast & cand[bty0:bty1, btx0:btx1]
+            if take.any():
+                assigned[bty0:bty1, btx0:btx1][take] = len(passes)
+                iby, ibx = np.nonzero(take)
+                org = origins[iby * bntx + ibx]
+                tiles = np.column_stack(
+                    [iby, ibx, iby + bty0, ibx + btx0,
+                     org[:, 0], org[:, 1]]).astype(np.int32)
+                if wc.shear_q:
+                    ext = PR.row_block_shear(stats, tiles,
+                                             spl.degree, wc)
+                else:
+                    ext = PR.row_block_origins(stats, tiles,
+                                               spl.degree, wc)
+                tiles = np.concatenate([tiles, ext], axis=1)
+                passes.append((name, wc, box, tiles, True))
     return passes, assigned
 
 
@@ -625,8 +802,12 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     vanishing carry-dependent value to defeat loop hoisting). Tiles
     with ``assigned == -1`` hold zeros and must be patched by the
     caller; ``assigned == ZERO_PASS`` tiles are genuinely empty."""
+    # pertap frames skip the masked-merge phase: their synopsis masks
+    # are per-tap *deflected* validity, so an undeflected merge mask
+    # would zero pixels a deflected tap can legitimately read - the
+    # (now in-jit) XLA fallback stays exact for those edge tiles
     passes, assigned = plan_passes(plan, src, window, classes, fi,
-                                   spread)
+                                   spread, masked_merge=not pertap)
     geom = _geom_static(plan)
     nch_out = plan.nchannels if nch_out is None else nch_out
     brighten = src.static.brighten if brighten is None else brighten
@@ -643,17 +824,50 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     elif spread is not None:
         state["spread"] = jnp.asarray(
             np.asarray(spread, np.float32).reshape(-1))
-    for name, wc, box, tiles, _merge in passes:
+    state["inline"] = {}
+    inline_info = {}
+    for pi, (name, wc, box, tiles, merge) in enumerate(passes):
         if name not in state["coeffs"]:
             state["coeffs"][name] = jnp.moveaxis(
                 _variant_spline(src, name).coeff, -1, 0)
         state["tiles"].append(jnp.asarray(tiles))
+        if not _inline_eligible(plan, src, fi, name, spread, merge):
+            continue
+        if plan.projection in (Projection.CUBEMAP,
+                               Projection.BIATAN6):
+            r0 = window[0] + tiles[:, 2] * PR.TILE_H
+            faces = r0 // plan.width
+            if not (faces == (r0 + PR.TILE_H - 1)
+                    // plan.width).all():
+                continue  # a tile straddles a face boundary
+            faces = np.clip(faces, 0, 5).astype(np.int32)
+        else:
+            faces = np.zeros(tiles.shape[0], np.int32)
+        spl = _variant_spline(src, name)
+        stt = src.static
+        statics = (stt.total_extent.x0, stt.total_extent.x1,
+                   stt.total_extent.y0, stt.total_extent.y1,
+                   stt.total_width, stt.total_height,
+                   stt.window_x_offset, stt.window_y_offset)
+        tmode, xfeat, yfeat, P, consts = _inline_setup(
+            geom, window, name, spl.core_shape, spl.pad,
+            tuple(spl.bcs), statics)
+        state["inline"][pi] = (jnp.asarray(xfeat),
+                               jnp.asarray(yfeat),
+                               jnp.asarray(faces))
+        inline_info[pi] = (tmode, consts, P,
+                           name.startswith("pitched"))
+
+    full_cover = src.spl is not None and bool(
+        getattr(src.spl, "spherical", False))
 
     struct = tuple((name, wc, box,
                     _variant_spline(src, name).degree,
                     _variant_spline(src, name).coeff.shape,
-                    tiles.shape[0], merge)
-                   for name, wc, box, tiles, merge in passes)
+                    tiles.shape[0], merge,
+                    inline_info.get(pi, (None,))[:2])
+                   for pi, (name, wc, box, tiles, merge)
+                   in enumerate(passes))
     key = (geom, window, tuple(classes), fi, nch_out, float(brighten),
            nch_in, struct,
            tuple(spread) if spread is not None else None, pertap)
@@ -663,8 +877,27 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     def frame(st, eps):
         canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
         mask0 = None
-        for pi, (name, wc, box, degree, _shape, _nt, merge) in \
-                enumerate(struct):
+        for pi, (name, wc, box, degree, _shape, _nt, merge,
+                 inline) in enumerate(struct):
+            if inline[0] is not None:
+                # coordinate chain fused into the kernel: no XLA
+                # coordinate pass, no sx/sy HBM round trip
+                tmode, consts = inline
+                _t2, _c2, P, pitched = inline_info[pi]
+                bas = st["basis"]
+                if pitched:
+                    bas = jnp.asarray(
+                        np.asarray(PITCH_BASIS.T, np.float32)) @ bas
+                bm = jnp.einsum("ij,fjk->fik", bas,
+                                jnp.asarray(P)).reshape(-1, 9)
+                xfeat, yfeat, fcs = st["inline"][pi]
+                canvas = PR.resample_inline_into(
+                    canvas, st["coeffs"][name], st["tiles"][pi],
+                    fcs, xfeat, yfeat, bm, eps, degree=degree,
+                    tmode=tmode, consts=consts, wc=wc,
+                    unroll=not (_same_geom(wc, PR.DIAG)
+                                or _same_geom(wc, PR.SHEAR4)))
+                continue
             bwin = _box_window(window, box)
             c0 = _coords(geom, bwin, name, st["src"], fi, (0.0, 0.0),
                          st["basis"], dom_neutral=merge)
@@ -695,8 +928,10 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                     dux, duy, dvx, dvy, st["tiles"][pi],
                     st["spread"], degree=degree, n_taps=n_taps,
                     wc=wc, merge_mask=mm)
-        if pertap:
-            px = canvas  # the caller masks with the per-tap mask
+        if pertap or full_cover:
+            # per-tap frames are masked by the caller; full-spherical
+            # sources cover every ray, so the finish mask is identity
+            px = canvas
         else:
             if mask0 is None:  # rare: first pass didn't span the window
                 _sx, _sy, mask0, _z2 = _coords(geom, window, "orig",
@@ -726,6 +961,8 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
 
 # one-jit multi-facet frames keyed on the per-facet pass structures
 _MULTI_CACHE = {}
+# one-jit per-tap twined multi-facet frames (tap loop inside the jit)
+_PERTAP_CACHE = {}
 
 
 def fused_multi_frame(plan, sources, window, classes=DEFAULT_CLASSES):
@@ -803,6 +1040,32 @@ def _patch_tiles_batch_twined(img, coeff, sx, sy, dux, duy, dvx, dvy,
             tile = E.repix(tile, nch_out)
             if brighten != 1.0:
                 tile = E.apply_brighten(tile, brighten)
+        return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
+
+    img, _ = jax.lax.scan(body, img, origins)
+    return img
+
+
+def _patch_tiles_batch_tap(img, coeff, sx, sy, dux, duy, dvx, dvy,
+                           origins, degree, tap, nch_out, brighten):
+    """Single-tap variant of _patch_tiles_batch_twined with a *traced*
+    tap deflection (cx, cy) - used inside the one-jit per-tap frame's
+    tap loop, where the deflection is a loop-carried tensor."""
+    cx, cy = tap[0], tap[1]
+
+    def body(im, oyx):
+        oy, ox = oyx[0], oyx[1]
+        size = (PR.TILE_H, PR.TILE_W)
+        sl = lambda a: jax.lax.dynamic_slice(a, (oy, ox), size)
+        spl = S.Spline2D(coeff=coeff, pad=0, degree=degree,
+                         bcs=(S.CONSTANT, S.CONSTANT),
+                         core_shape=coeff.shape[:2])
+        tile = S.eval_spline(
+            spl, sl(sx) + cx * sl(dux) + cy * sl(dvx),
+            sl(sy) + cx * sl(duy) + cy * sl(dvy), apply_gate=False)
+        tile = E.repix(tile, nch_out)
+        if brighten != 1.0:
+            tile = E.apply_brighten(tile, brighten)
         return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
 
     img, _ = jax.lax.scan(body, img, origins)
@@ -1073,7 +1336,14 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
     at kernel granularity; the per-tap masks are what blend facet
     seams under the twining filter. The tap score uses the deflected
     ray's z (exact); the per-tap kernel work equals the per-facet
-    composed variant's, the extra cost is K synopsis combines."""
+    composed variant's, the extra cost is K synopsis combines.
+
+    The whole K-tap x F-facet pipeline runs as ONE compiled program:
+    the tap loop is a lax.fori_loop whose body reads its (cx, cy, w)
+    from a traced (K, 3) spread array, so K x F frame/mask/patch
+    dispatches (20-30 ms each through the remote device tunnel)
+    collapse into a single dispatch, and the tap-invariant coordinate
+    passes for the XLA-patched tiles are hoisted out of the loop."""
     y0, _y1, x0, _x1 = window
     ph = window[1] - y0
     pw = window[3] - x0
@@ -1083,8 +1353,10 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
                    for (cx, cy, w) in plan.spread)
 
     per_facet = []
+    states = []
+    keys = []
     for fi, src in enumerate(sources):
-        frame_fn, state, assigned, passes = fused_frame(
+        frame_fn, state, assigned, passes, key = _frame_builder(
             plan, src, window, classes, fi=fi, spread=spread,
             pertap=True)
         n_fast = int((assigned >= 0).sum())
@@ -1094,56 +1366,79 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
                   f"{assigned.size} tiles fused, {n_zero} empty")
         if n_fast == 0 and n_zero < assigned.size:
             return None  # one facet entirely unfusable: use XLA path
-        basis = _basis_arg(plan, fi)
-        bad = np.argwhere(assigned == -1)
-        derivs = None
-        if bad.size:
-            if verbose:
-                print(f"fastpath(multi/pertap): facet {fi}: "
-                      f"{len(bad)} tiles via XLA fallback")
-            c0 = _coords(geom, window, "orig", src, fi, (0.0, 0.0),
-                         basis)
-            c10 = _coords(geom, window, "orig", src, fi,
-                          (ST.DERIV_BIAS, 0.0), basis)
-            c01 = _coords(geom, window, "orig", src, fi,
-                          (0.0, ST.DERIV_BIAS), basis)
-            dux, dvx = _deriv(c0[0], c10[0], c01[0])
-            duy, dvy = _deriv(c0[1], c10[1], c01[1])
-            derivs = (c0[0], c0[1], dux, duy, dvx, dvy)
-        per_facet.append((frame_fn, state, n_fast, bad, derivs, src,
-                          basis))
+        bad = tuple(map(tuple, np.argwhere(assigned == -1)))
+        if verbose and bad:
+            print(f"fastpath(multi/pertap): facet {fi}: "
+                  f"{len(bad)} tiles via XLA fallback")
+        per_facet.append((frame_fn, n_fast, bad, src.spl.degree,
+                          float(src.static.brighten)))
+        states.append(state)
+        keys.append(key)
 
-    acc = None
-    for (cx, cy, w) in spread:
-        px_list, mask_list, score_list = [], [], []
-        for fi, (frame_fn, state, n_fast, bad, derivs, src, basis) \
-                in enumerate(per_facet):
-            st_k = dict(state)
-            st_k["spread"] = jnp.asarray([cx, cy, 1.0], jnp.float32)
-            if n_fast:
-                img_f = frame_fn(st_k, jnp.float32(0))
-            else:
-                img_f = jnp.zeros((ph, pw, plan.nchannels),
-                                  jnp.float32)
-            mask, score = _tap_mask_score(
-                geom, window, src, fi,
-                jnp.asarray([cx * ST.DERIV_BIAS, cy * ST.DERIV_BIAS],
-                            jnp.float32), basis)
-            if len(bad):
-                sx0, sy0, dux, duy, dvx, dvy = derivs
-                img_f = _patch_tiles_batch_twined(
-                    img_f, src.spl.coeff, sx0, sy0, dux, duy, dvx,
-                    dvy, None, _bad_origins(bad), src.spl.degree,
-                    ((cx, cy, 1.0),), plan.nchannels,
-                    src.static.brighten, use_mask=False)
-            img_f = jnp.where(mask[..., None], img_f, 0.0)
-            px_list.append(img_f)
-            mask_list.append(mask)
-            score_list.append(score)
-        tap_img = _combine_stack(plan, sources, px_list, mask_list,
-                                 score_list)
-        term = float(w) * tap_img
-        acc = term if acc is None else acc + term
+    statics = tuple(src.static for src in sources)
+    n_taps = len(spread)
 
+    def combined(sts, sp):
+        # tap-invariant work hoisted out of the tap loop: undeflected
+        # coordinates + derivatives for the XLA-patched tiles
+        derivs = {}
+        for fi, (_f, _n, bad, _d, _b) in enumerate(per_facet):
+            if bad:
+                basis = sts[fi]["basis"]
+                c0 = _coords(geom, window, "orig", sts[fi]["src"],
+                             fi, (0.0, 0.0), basis)
+                c10 = _coords(geom, window, "orig", sts[fi]["src"],
+                              fi, (ST.DERIV_BIAS, 0.0), basis)
+                c01 = _coords(geom, window, "orig", sts[fi]["src"],
+                              fi, (0.0, ST.DERIV_BIAS), basis)
+                dux, dvx = _deriv(c0[0], c10[0], c01[0])
+                duy, dvy = _deriv(c0[1], c10[1], c01[1])
+                derivs[fi] = (c0[0], c0[1], dux, duy, dvx, dvy)
+
+        def tap_body(k, acc):
+            cx, cy, w = sp[k, 0], sp[k, 1], sp[k, 2]
+            px_list, mask_list, score_list = [], [], []
+            for fi, (frame_fn, n_fast, bad, degree, brighten) in \
+                    enumerate(per_facet):
+                st_k = dict(sts[fi])
+                st_k["spread"] = jnp.stack([cx, cy,
+                                            jnp.float32(1.0)])
+                if n_fast:
+                    img_f = frame_fn(st_k, jnp.float32(0))
+                else:
+                    img_f = jnp.zeros((ph, pw, plan.nchannels),
+                                      jnp.float32)
+                mask, score = _tap_mask_score(
+                    geom, window, sts[fi]["src"], fi,
+                    jnp.stack([cx * ST.DERIV_BIAS,
+                               cy * ST.DERIV_BIAS]),
+                    sts[fi]["basis"])
+                if bad:
+                    sx0, sy0, dux, duy, dvx, dvy = derivs[fi]
+                    img_f = _patch_tiles_batch_tap(
+                        img_f, sts[fi]["src"].spl.coeff, sx0, sy0,
+                        dux, duy, dvx, dvy,
+                        _bad_origins(np.asarray(bad)), degree,
+                        jnp.stack([cx, cy]), plan.nchannels,
+                        brighten)
+                img_f = jnp.where(mask[..., None], img_f, 0.0)
+                px_list.append(img_f)
+                mask_list.append(mask)
+                score_list.append(score)
+            tap_img = _combine_stack(plan, sources, px_list,
+                                     mask_list, score_list)
+            return acc + w * tap_img
+
+        acc0 = jnp.zeros((ph, pw, plan.nchannels), jnp.float32)
+        return jax.lax.fori_loop(0, n_taps, tap_body, acc0)
+
+    mkey = (tuple(keys), plan.synopsis, plan.nchannels, n_taps,
+            tuple(float(s.recip_step) for s in statics),
+            tuple(pf[1:] for pf in per_facet))
+    fn = _PERTAP_CACHE.get(mkey)
+    if fn is None:
+        fn = _PERTAP_CACHE[mkey] = jax.jit(combined)
+    spread_arr = jnp.asarray(np.asarray(spread, np.float32))
+    acc = fn(tuple(states), spread_arr)
     img = np.array(jax.device_get(acc), np.float32)
     return img[:out_h, :out_w]

@@ -34,6 +34,19 @@ def _read_facet_image(fct: Facet, args) -> np.ndarray:
     return img
 
 
+def _decimate(img: np.ndarray, level: int) -> np.ndarray:
+    """--twine_pyramid 2^level x 2^level box decimation of (H, W, C)
+    pixel data. Box averaging preserves the edge-to-edge sample grid
+    exactly: decimated pixel centers coincide with the centroids of
+    the source blocks they replace (twine_setup already rewrote the
+    facet's geometry to the decimated size)."""
+    s = 1 << level
+    h, w, c = img.shape
+    assert h % s == 0 and w % s == 0, (img.shape, level)
+    return img.reshape(h // s, s, w // s, s, c).mean(
+        axis=(1, 3), dtype=np.float32)
+
+
 def load_source(fct: Facet, args) -> E.FacetSource:
     """Build (or fetch from cache) the FacetSource for a facet."""
     # masking jobs without alpha need no image data (masking_t path,
@@ -46,7 +59,7 @@ def load_source(fct: Facet, args) -> E.FacetSource:
 
     key = (fct.asset_key, args.spline_degree, args.prefilter_degree,
            fct.projection, args.nchannels if fct.masked != -1 else -1,
-           getattr(args, "coeff_dtype", "f32"))
+           getattr(args, "coeff_dtype", "f32"), fct.pyramid_level)
     cached = assets.cache.find(key)
     if cached is not None:
         if args.verbose:
@@ -71,6 +84,8 @@ def load_source(fct: Facet, args) -> E.FacetSource:
         return src
 
     img = _read_facet_image(fct, args)
+    if fct.pyramid_level > 0:
+        img = _decimate(img, fct.pyramid_level)
     src = _build(fct, args, img)
     # convert the base table before the variant builds: at 16K the
     # four float32 tables plus the pitched build's intermediates

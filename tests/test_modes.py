@@ -272,3 +272,67 @@ def test_coeff_cache_bf16_roundtrip(tmp_path):
         np.asarray(spl.coeff).view(np.uint16))
     assert set(rvar) == {"alt"}
     assert rvar["alt"].coeff.dtype == jnp.bfloat16
+
+
+def test_twine_pyramid_minified_downscale(tmp_path):
+    """--twine_pyramid: heavily minified facets are box-decimated at
+    load so the auto twine shrinks; on smooth (band-limited) content
+    the result stays close to the exact K-tap twined render."""
+    env = synthetic_equirect(2048, 1024)
+    imgio.save_image(str(tmp_path / "env.exr"), env,
+                     projection_name="spherical", hfov_deg=360)
+    # 2048px 360-deg source -> 256px 100-deg target: mag ~ 0.45
+    common = ["--input", str(tmp_path / "env.exr"), "--projection",
+              "rectilinear", "--hfov", "100", "--width", "256",
+              "--height", "160", "--yaw", "30"]
+    core(common + ["--output", str(tmp_path / "exact.exr")])
+    core(common + ["--twine_pyramid",
+                   "--output", str(tmp_path / "pyr.exr")])
+    exact = imgio.read_image(str(tmp_path / "exact.exr"))
+    pyr = imgio.read_image(str(tmp_path / "pyr.exr"))
+    p = psnr(exact, pyr)
+    assert p > 40.0, f"pyramid vs exact twine: {p:.1f} dB"
+
+
+def test_twine_pyramid_selection_and_guards():
+    """Level selection puts the residual magnification in [0.5, 1);
+    facets with planar transforms keep full resolution."""
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.core.facet import Facet
+    from envutil_tpu.core.metrics import get_extent, get_step
+    from envutil_tpu.runtime.args import Args
+
+    def mk(w, h, a=0.0):
+        f = Facet(facet_no=0, nchannels=3)
+        f.set_geometry(Projection.SPHERICAL, w, h, 2 * math.pi)
+        f.a = a
+        f.process_geometry()
+        return f
+
+    args = Args()
+    args.projection = Projection.RECTILINEAR
+    args.width, args.height = 256, 160
+    args.hfov = math.radians(100)
+    args.extent = get_extent(args.projection, 256, 160, args.hfov)
+    args.step = (args.extent.x1 - args.extent.x0) / 256
+    args.twine_pyramid = True
+    f = mk(8192, 4096)
+    args.facets = [f]
+    args.twine_setup()
+    assert f.pyramid_level >= 1
+    assert f.width == 8192 >> f.pyramid_level
+    assert 0.5 <= f.step / args.step < 1.0 + 1e-9
+    assert len(args.twine_spread) <= 9
+
+    # lens-corrected facet: untouched
+    args2 = Args()
+    args2.projection = Projection.RECTILINEAR
+    args2.width, args2.height = 256, 160
+    args2.hfov = math.radians(100)
+    args2.extent = get_extent(args2.projection, 256, 160, args2.hfov)
+    args2.step = (args2.extent.x1 - args2.extent.x0) / 256
+    args2.twine_pyramid = True
+    f2 = mk(8192, 4096, a=0.01)
+    args2.facets = [f2]
+    args2.twine_setup()
+    assert f2.pyramid_level == 0 and f2.width == 8192

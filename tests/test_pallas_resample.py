@@ -531,3 +531,101 @@ def test_resample_high_degree(degree):
                                   wc=wc, interpret=True)
     out = np.moveaxis(np.asarray(out), 0, -1)
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-4)
+
+
+def test_resample_inline_coords_kernel():
+    """Inline-coordinates kernel (coords chain fused in-kernel) matches
+    the XLA _coords + eval_spline path across target modes."""
+    import math
+
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.core.facet import Facet
+    from envutil_tpu.core.metrics import get_extent, get_step
+    from envutil_tpu.models import environment as E
+    from envutil_tpu.runtime import fastpath
+    from envutil_tpu.runtime.args import Args
+    from envutil_tpu.runtime.render import build_plan
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (256, 512, 3)).astype(np.float32)
+    fct = Facet(facet_no=0, nchannels=3)
+    fct.set_geometry(Projection.SPHERICAL, 512, 256, 2 * math.pi)
+    fct.step = get_step(Projection.SPHERICAL, 512, 256, 2 * math.pi)
+    fct.yaw = math.radians(25)
+    fct.process_geometry()
+    src = E.make_mount_source(fct, img, 3, 3)
+    src.variants["rolled"] = S.rolled_spline(src.spl)
+
+    for tproj, w, h, hfov in (
+            (Projection.RECTILINEAR, 256, 256, 80),
+            (Projection.CUBEMAP, 128, 768, 90),
+            (Projection.SPHERICAL, 256, 128, 360)):
+        args = Args()
+        args.projection = tproj
+        args.width, args.height = w, h
+        args.hfov = math.radians(hfov)
+        args.extent = get_extent(tproj, w, h, args.hfov)
+        args.step = (args.extent.x1 - args.extent.x0) / w
+        args.spline_degree = args.prefilter_degree = 3
+        args.twine = 0
+        args.synopsis = "panorama"
+        args.nchannels = 3
+        args.facets = [fct]
+        args.solo = 0
+        plan = build_plan(args, [fct])
+        window = (0, ((h + 127) // 128) * 128,
+                  0, ((w + 127) // 128) * 128)
+        geom = fastpath._geom_static(plan)
+        basis = fastpath._basis_arg(plan, 0)
+        passes, assigned = fastpath.plan_passes(
+            plan, src, window, fastpath.DEFAULT_CLASSES)
+        tested = 0
+        for name, wc, box, tiles, merge in passes:
+            if not fastpath._inline_eligible(plan, src, 0, name,
+                                             None, merge):
+                continue
+            spl = fastpath._variant_spline(src, name)
+            stt = src.static
+            statics = (stt.total_extent.x0, stt.total_extent.x1,
+                       stt.total_extent.y0, stt.total_extent.y1,
+                       stt.total_width, stt.total_height,
+                       stt.window_x_offset, stt.window_y_offset)
+            tmode, xfeat, yfeat, P, consts = fastpath._inline_setup(
+                geom, window, name, spl.core_shape, spl.pad,
+                tuple(spl.bcs), statics)
+            if tproj in (Projection.CUBEMAP, Projection.BIATAN6):
+                r0 = window[0] + tiles[:, 2] * PR.TILE_H
+                faces = np.clip(r0 // plan.width, 0,
+                                5).astype(np.int32)
+            else:
+                faces = np.zeros(tiles.shape[0], np.int32)
+            bas = np.asarray(basis, np.float32)
+            if name.startswith("pitched"):
+                bas = np.asarray(fastpath.PITCH_BASIS.T,
+                                 np.float32) @ bas
+            bm = np.einsum("ij,fjk->fik", bas, P).reshape(-1, 9)
+            coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+            ph = window[1] - window[0]
+            pw = window[3] - window[2]
+            canvas = jnp.zeros((coeffp.shape[0], ph, pw), jnp.float32)
+            out = PR.resample_inline_into(
+                canvas, coeffp, jnp.asarray(tiles),
+                jnp.asarray(faces), jnp.asarray(xfeat),
+                jnp.asarray(yfeat), jnp.asarray(bm),
+                jnp.float32(0), degree=spl.degree, tmode=tmode,
+                consts=consts, wc=wc, interpret=True)
+            out = np.moveaxis(np.asarray(out), 0, -1)
+            rsx, rsy, _m, _z = fastpath._coords(
+                geom, window, name, src, 0, (0.0, 0.0), basis)
+            ref = np.asarray(S.eval_spline(
+                S.Spline2D(coeff=spl.coeff, pad=0, degree=spl.degree,
+                           bcs=(S.CONSTANT, S.CONSTANT),
+                           core_shape=spl.coeff.shape[:2]),
+                rsx, rsy, apply_gate=False))
+            for row in np.asarray(tiles):
+                osl = np.s_[row[2]*PR.TILE_H:(row[2]+1)*PR.TILE_H,
+                            row[3]*PR.TILE_W:(row[3]+1)*PR.TILE_W]
+                np.testing.assert_allclose(out[osl], ref[osl],
+                                           atol=3e-3)
+            tested += 1
+        assert tested, f"no inline-eligible pass for {tproj}"

@@ -99,6 +99,24 @@ def main():
     print(f"multi pertap fused vs XLA: PSNR {p:.1f} dB", flush=True)
     ok &= p > 55.0
 
+    # --- non-twined multi with a partial facet: exercises the
+    # masked-merge passes (facet-edge tiles written by validity
+    # dominance) on real hardware ---------------------------------
+    args = mk_args(256, 256, 0)
+    args.facets = [fct0, fct1]
+    args.solo = -1
+    plan = build_plan(args, [fct0, fct1])
+    fused = fastpath.render_fast(plan, [src0, src1], verbose=True)
+    if fused is None:
+        print("multi masked-merge: not eligible?!")
+        sys.exit(1)
+    xla = np.asarray(
+        _compiled_window(plan, (0, 256, 0, 256))([src0, src1]))
+    p = psnr(fused, xla)
+    print(f"multi masked-merge fused vs XLA: PSNR {p:.1f} dB",
+          flush=True)
+    ok &= p > 60.0
+
     check_cubemap_source()
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
