@@ -16,7 +16,10 @@ The reference publishes no numbers (BASELINE.md 'published: {}') and
 cannot be built here (no OpenImageIO in the image), so vs_baseline uses
 a documented proxy: ~80 Mpix/s for its multithreaded AVX2 degree-3
 pipeline on a modern 8-core desktop CPU; the north-star target is 10x
-that per chip.
+that per chip. Measured bracket: this repo's own XLA-CPU path (same
+arithmetic, compiler-vectorized) runs the headline config at 8.9
+Mpix/s on this VM's single core (tools/cpu_floor.py, 2026-08-17),
+i.e. ~10 Mpix/s/core - consistent with the 80 Mpix/s 8-core proxy.
 """
 
 import json
@@ -93,7 +96,7 @@ def main():
     frame_fn, state, assigned, passes = fused_frame(plan, src, window)
     frac_fast = (assigned >= 0).mean()
     mix = ", ".join(f"{n}/{wc.name}:{(assigned == pi).sum()}"
-                    for pi, (n, wc, b, _) in enumerate(passes))
+                    for pi, (n, wc, *_r) in enumerate(passes))
     print(f"# fused tiles: {(assigned >= 0).sum()}/{assigned.size} in "
           f"{len(passes)} passes ({mix})", file=sys.stderr)
 

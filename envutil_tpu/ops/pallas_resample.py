@@ -119,7 +119,11 @@ STEEP = WindowClass(win_h=640, win_w=896, cand_r=22, cand_c=4,
 
 # sheared siblings: same windows/coverage budgets as the classes they
 # shadow, plus the residual-fits-in-8*Q criterion; admitted tiles cost
-# ~1.5-4x less (fewer gathers), so the planner tries these first
+# ~1.5-4x less (fewer gathers), so the planner tries these first.
+# (q=1 variants were tried and are useless: the 8*Q band rows must
+# physically cover the vreg's intrinsic ~1-row-per-sublane advance
+# (~7 rows at unit scale) on top of the fit residual, so a single
+# 8-row band only ever fits strong vertical minification)
 SHEAR4 = WindowClass(win_h=192, win_w=384, cand_r=4, cand_c=2,
                      k_taps=5, shear_q=2)
 SHEAR6 = WindowClass(win_h=256, win_w=384, cand_r=6, cand_c=2,
@@ -582,31 +586,47 @@ def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
     oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
     oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
 
-    def row_body(r, _):
+    def eval_rows(r):
         sx = sx_ref[pl.ds(r * 8, 8), :] - oxf
         sy = sy_ref[pl.ds(r * 8, 8), :] - oyf
         if wc.shear_q:
             base = t * stride + TILE_ROW_INTS + 4 * r
-            accs = _eval_row_block_sheared(
+            return _eval_row_block_sheared(
                 sx, sy, win, degree=degree, wc=wc, nch=nch,
                 rb0=pl.multiple_of(tiles_ref[base], 8),
                 cb0=pl.multiple_of(tiles_ref[base + 1], 128),
                 a_fix=tiles_ref[base + 2], b_fix=tiles_ref[base + 3],
                 col0=tiles_ref[t * stride + 5])
-        else:
-            rb0 = cb0 = None
-            if ext:
-                base = t * stride + TILE_ROW_INTS + 2 * r
-                rb0 = pl.multiple_of(tiles_ref[base], 8)
-                cb0 = pl.multiple_of(tiles_ref[base + 1], 128)
-            accs = _eval_row_block(sx, sy, win, degree=degree, wc=wc,
-                                   nch=nch, rb0=rb0, cb0=cb0)
+        rb0 = cb0 = None
+        if ext:
+            base = t * stride + TILE_ROW_INTS + 2 * r
+            rb0 = pl.multiple_of(tiles_ref[base], 8)
+            cb0 = pl.multiple_of(tiles_ref[base + 1], 128)
+        return _eval_row_block(sx, sy, win, degree=degree, wc=wc,
+                               nch=nch, rb0=rb0, cb0=cb0)
+
+    def row_body(r, _):
         if merge:
+            # a merge pass writes only the pixels it dominates; a tile
+            # split between faces leaves whole row-blocks to the other
+            # faces' passes - skip their gather work entirely and pass
+            # the prior canvas through
             m = mask_ref[pl.ds(r * 8, 8), :] > 0.5
-            for ch in range(nch):
-                out_ref[ch, pl.ds(r * 8, 8), :] = jnp.where(
-                    m, accs[ch], cin_ref[ch, pl.ds(r * 8, 8), :])
+
+            @pl.when(jnp.any(m))
+            def _dominated():
+                accs = eval_rows(r)
+                for ch in range(nch):
+                    out_ref[ch, pl.ds(r * 8, 8), :] = jnp.where(
+                        m, accs[ch], cin_ref[ch, pl.ds(r * 8, 8), :])
+
+            @pl.when(jnp.logical_not(jnp.any(m)))
+            def _pass_through():
+                for ch in range(nch):
+                    out_ref[ch, pl.ds(r * 8, 8), :] = \
+                        cin_ref[ch, pl.ds(r * 8, 8), :]
         else:
+            accs = eval_rows(r)
             for ch in range(nch):
                 out_ref[ch, pl.ds(r * 8, 8), :] = accs[ch]
         return _
@@ -1011,8 +1031,7 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
     oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
     oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
 
-    def row_body(r, _):
-        sl = (pl.ds(r * 8, 8), slice(None))
+    def eval_taps(r, sl):
         sx = sx_ref[sl] - oxf
         sy = sy_ref[sl] - oyf
         dux = dux_ref[sl]
@@ -1053,13 +1072,29 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
 
         acc0 = tuple(jnp.zeros((8, TILE_W), jnp.float32)
                      for _c in range(nch))
-        acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
+        return jax.lax.fori_loop(0, n_taps, tap_body, acc0)
+
+    def row_body(r, _):
+        sl = (pl.ds(r * 8, 8), slice(None))
         if merge:
+            # skip the K-tap gather work for row-blocks this pass does
+            # not dominate at all (see _resample_kernel_into)
             m = mask_ref[sl] > 0.5
-            for ch in range(nch):
-                out_ref[ch, pl.ds(r * 8, 8), :] = jnp.where(
-                    m, acc[ch], cin_ref[ch, pl.ds(r * 8, 8), :])
+
+            @pl.when(jnp.any(m))
+            def _dominated():
+                acc = eval_taps(r, sl)
+                for ch in range(nch):
+                    out_ref[ch, pl.ds(r * 8, 8), :] = jnp.where(
+                        m, acc[ch], cin_ref[ch, pl.ds(r * 8, 8), :])
+
+            @pl.when(jnp.logical_not(jnp.any(m)))
+            def _pass_through():
+                for ch in range(nch):
+                    out_ref[ch, pl.ds(r * 8, 8), :] = \
+                        cin_ref[ch, pl.ds(r * 8, 8), :]
         else:
+            acc = eval_taps(r, sl)
             for ch in range(nch):
                 out_ref[ch, pl.ds(r * 8, 8), :] = acc[ch]
         return _

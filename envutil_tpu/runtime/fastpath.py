@@ -1121,6 +1121,19 @@ def render_fast_twined(plan, sources, verbose: bool = False,
     pw = _round_up(out_w, PR.TILE_W)
     window = (y0, y0 + ph, x0, x0 + pw)
 
+    full_cover = (src.static.kind == "cubemap"
+                  or src.static.full_fisheye
+                  or (src.spl is not None and src.spl.spherical))
+    if not full_cover:
+        # a partial facet's twined render masks each tap with the
+        # tap's own DEFLECTED validity (the reference's solo synopsis,
+        # envutil_payload.cc:611-691); the center-tap mask the fused
+        # frame applies would mis-paint the facet-edge band. Route
+        # through the one-jit per-tap frame, which is exact there.
+        return _render_fast_multi_pertap(plan, sources, window,
+                                         out_h, out_w, verbose,
+                                         classes)
+
     # spread with the 1/bias factor folded in (synopsis_t semantics)
     bias = 1.0 / ST.DERIV_BIAS
     spread = tuple((float(cx) * bias, float(cy) * bias, float(w))

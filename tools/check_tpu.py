@@ -99,6 +99,23 @@ def main():
     print(f"multi pertap fused vs XLA: PSNR {p:.1f} dB", flush=True)
     ok &= p > 55.0
 
+    # --- solo twined render of a partial facet: masked-merge passes
+    # through the twined kernel ------------------------------------
+    argsst = mk_args(256, 256, 1)
+    argsst.facets = [fct1]
+    argsst.solo = 0
+    planst = build_plan(argsst, [fct1])
+    fused = fastpath.render_fast(planst, [src1], verbose=True)
+    if fused is not None:
+        xla = np.asarray(
+            _compiled_window(planst, (0, 256, 0, 256))([src1]))
+        p = psnr(fused, xla)
+        print(f"solo twined partial fused vs XLA: PSNR {p:.1f} dB",
+              flush=True)
+        ok &= p > 55.0
+    else:
+        print("solo twined partial: fused path declined (XLA used)")
+
     # --- non-twined multi with a partial facet: exercises the
     # masked-merge passes (facet-edge tiles written by validity
     # dominance) on real hardware ---------------------------------
