@@ -793,6 +793,45 @@ def _gate_const(v, mode: str, lower: float, upper: float):
     return jnp.clip(v, lower, upper)
 
 
+def _inline_coords_rb(xf_ref, yf_ref, bm, sl8, *, tmode: str,
+                      consts: tuple, xi: int = 0, yi: int = 0):
+    """(sx, sy) padded spline coordinates for one (8, TILE_W)
+    row-block, computed from the axis-feature blocks and the per-tile
+    3x3 matrix. ``xi``/``yi`` select the feature set (0 = center,
+    1 = DERIV_BIAS-biased axis - the twined kernel's derivative
+    grids)."""
+    (kx, cx, ky, cy, gate_x, glx, gux, gate_y, gly, guy, pad) = consts
+    if tmode == "affine":
+        # rect/cubemap/biatan6 targets: ray = B @ (px, py', 1)
+        px = xf_ref[xi]
+        py = yf_ref[yi, sl8, :]
+        rx = bm[0] * px + bm[1] * py + bm[2]
+        ry = bm[3] * px + bm[4] * py + bm[5]
+        rz = bm[6] * px + bm[7] * py + bm[8]
+    elif tmode == "sph":
+        # spherical target: ray = B @ (sl*ct, st, cl*ct)
+        sl_, cl_ = xf_ref[2 * xi], xf_ref[2 * xi + 1]
+        st_ = yf_ref[2 * yi, sl8, :]
+        ct_ = yf_ref[2 * yi + 1, sl8, :]
+        ux = sl_ * ct_
+        uz = cl_ * ct_
+        rx = bm[0] * ux + bm[1] * st_ + bm[2] * uz
+        ry = bm[3] * ux + bm[4] * st_ + bm[5] * uz
+        rz = bm[6] * ux + bm[7] * st_ + bm[8] * uz
+    else:  # "cyl": ray = B @ (sin(az), y, cos(az))
+        sl_, cl_ = xf_ref[2 * xi], xf_ref[2 * xi + 1]
+        uy = yf_ref[yi, sl8, :]
+        rx = bm[0] * sl_ + bm[1] * uy + bm[2] * cl_
+        ry = bm[3] * sl_ + bm[4] * uy + bm[5] * cl_
+        rz = bm[6] * sl_ + bm[7] * uy + bm[8] * cl_
+
+    lon = _atan2(rx, rz)
+    lat = _atan2(ry, jnp.sqrt(rx * rx + rz * rz))
+    sx = _gate_const(lon * kx + cx, gate_x, glx, gux) + pad
+    sy = _gate_const(lat * ky + cy, gate_y, gly, guy) + pad
+    return sx, sy
+
+
 def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
                         xf_ref, yf_ref,         # axis-feature blocks
                         bm_ref, eps_ref,        # SMEM
@@ -801,7 +840,6 @@ def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
                         degree: int, wc: WindowClass, nch: int,
                         nt: int, dbuf: bool, unroll: int, stride: int,
                         tmode: str, consts: tuple):
-    (kx, cx, ky, cy, gate_x, glx, gux, gate_y, gly, guy, pad) = consts
     t = pl.program_id(0)
     ext = stride >= TILE_ROW_INTS_EXT
     win = _load_tile_window(tiles_ref, coeff_ref, scratch, t=t,
@@ -815,34 +853,8 @@ def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
 
     def row_body(r, _):
         sl8 = pl.ds(r * 8, 8)
-        if tmode == "affine":
-            # rect/cubemap/biatan6 targets: ray = B @ (px, py', 1)
-            px = xf_ref[0]
-            py = yf_ref[0, sl8, :]
-            rx = bm[0] * px + bm[1] * py + bm[2]
-            ry = bm[3] * px + bm[4] * py + bm[5]
-            rz = bm[6] * px + bm[7] * py + bm[8]
-        elif tmode == "sph":
-            # spherical target: ray = B @ (sl*ct, st, cl*ct)
-            sl_, cl_ = xf_ref[0], xf_ref[1]
-            st_ = yf_ref[0, sl8, :]
-            ct_ = yf_ref[1, sl8, :]
-            ux = sl_ * ct_
-            uz = cl_ * ct_
-            rx = bm[0] * ux + bm[1] * st_ + bm[2] * uz
-            ry = bm[3] * ux + bm[4] * st_ + bm[5] * uz
-            rz = bm[6] * ux + bm[7] * st_ + bm[8] * uz
-        else:  # "cyl": ray = B @ (sin(az), y, cos(az))
-            sl_, cl_ = xf_ref[0], xf_ref[1]
-            uy = yf_ref[0, sl8, :]
-            rx = bm[0] * sl_ + bm[1] * uy + bm[2] * cl_
-            ry = bm[3] * sl_ + bm[4] * uy + bm[5] * cl_
-            rz = bm[6] * sl_ + bm[7] * uy + bm[8] * cl_
-
-        lon = _atan2(rx, rz)
-        lat = _atan2(ry, jnp.sqrt(rx * rx + rz * rz))
-        sx = _gate_const(lon * kx + cx, gate_x, glx, gux) + pad
-        sy = _gate_const(lat * ky + cy, gate_y, gly, guy) + pad
+        sx, sy = _inline_coords_rb(xf_ref, yf_ref, bm, sl8,
+                                   tmode=tmode, consts=consts)
         sx = sx + eps - oxf
         sy = sy - oyf
 
@@ -956,6 +968,170 @@ def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         input_output_aliases={7: 0},  # canvas (incl. prefetch args)
         interpret=interpret,
     )(tiles.reshape(-1), faces, xfeat, yfeat, bmats,
+      jnp.asarray(eps, jnp.float32).reshape(1), coeff, canvas)
+
+
+def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
+                               xf_ref, yf_ref, bm_ref, eps_ref,
+                               coeff_ref, _canvas_ref, out_ref,
+                               *scratch,
+                               degree: int, wc: WindowClass, nch: int,
+                               n_taps: int, nt: int, dbuf: bool,
+                               stride: int, tmode: str,
+                               consts: tuple):
+    """Twined variant of _inline_kernel_into: the center and the two
+    DERIV_BIAS-biased coordinate grids are computed in-kernel from the
+    doubled axis-feature sets (xi/yi = 1), differenced into the
+    coordinate derivative vectors (the reference's ninepack,
+    twining.h:236-238), and fed to the shared K-tap resolve."""
+    t = pl.program_id(0)
+    ext = stride >= TILE_ROW_INTS_EXT
+    win = _load_tile_window(tiles_ref, coeff_ref, scratch, t=t,
+                            stride=stride, wc=wc, nch=nch, nt=nt,
+                            dbuf=dbuf)
+    oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
+    oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
+    f = faces_ref[t]
+    bm = [bm_ref[f, k] for k in range(9)]
+    eps = eps_ref[0]
+
+    def row_body(r, _):
+        sl8 = pl.ds(r * 8, 8)
+        sx0, sy0 = _inline_coords_rb(xf_ref, yf_ref, bm, sl8,
+                                     tmode=tmode, consts=consts)
+        sxb, syb = _inline_coords_rb(xf_ref, yf_ref, bm, sl8,
+                                     tmode=tmode, consts=consts,
+                                     xi=1)
+        sxc, syc = _inline_coords_rb(xf_ref, yf_ref, bm, sl8,
+                                     tmode=tmode, consts=consts,
+                                     yi=1)
+        dux = sxb - sx0
+        duy = syb - sy0
+        dvx = sxc - sx0
+        dvy = syc - sy0
+        sx = sx0 + eps - oxf
+        sy = sy0 - oyf
+
+        rb0 = cb0 = bands = a_f = b_f = None
+        if wc.shear_q:
+            base = t * stride + TILE_ROW_INTS + 4 * r
+            rb0 = pl.multiple_of(tiles_ref[base], 8)
+            cb0 = pl.multiple_of(tiles_ref[base + 1], 128)
+            bands, a_f, b_f = _shear_bands(
+                win, degree=degree, wc=wc, nch=nch, rb0=rb0, cb0=cb0,
+                a_fix=tiles_ref[base + 2], b_fix=tiles_ref[base + 3],
+                col0=tiles_ref[t * stride + 5])
+        elif ext:
+            rb0 = pl.multiple_of(
+                tiles_ref[t * stride + TILE_ROW_INTS + 2 * r], 8)
+            cb0 = pl.multiple_of(
+                tiles_ref[t * stride + TILE_ROW_INTS + 2 * r + 1], 128)
+
+        def tap_body(ti, acc):
+            cx_t = spread_ref[ti * 3]
+            cy_t = spread_ref[ti * 3 + 1]
+            w_t = spread_ref[ti * 3 + 2]
+            sxt = sx + cx_t * dux + cy_t * dvx
+            syt = sy + cx_t * duy + cy_t * dvy
+            if wc.shear_q:
+                vals = _resolve_sheared(
+                    sxt, syt, bands, a_f, b_f, degree=degree, wc=wc,
+                    nch=nch, cb0=cb0, col0=tiles_ref[t * stride + 5])
+            else:
+                vals = _eval_row_block(sxt, syt, win, degree=degree,
+                                       wc=wc, nch=nch, rb0=rb0,
+                                       cb0=cb0)
+            return tuple(a + w_t * v for a, v in zip(acc, vals))
+
+        acc0 = tuple(jnp.zeros((8, TILE_W), jnp.float32)
+                     for _c in range(nch))
+        acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
+        for ch in range(nch):
+            out_ref[ch, sl8, :] = acc[ch]
+        return _
+
+    jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "wc",
+                                             "interpret", "n_taps",
+                                             "tmode", "consts"))
+def resample_inline_twined_into(canvas: jnp.ndarray,
+                                coeff: jnp.ndarray,
+                                tiles: jnp.ndarray,
+                                faces: jnp.ndarray,
+                                xfeat: jnp.ndarray,
+                                yfeat: jnp.ndarray,
+                                bmats: jnp.ndarray, spread, eps, *,
+                                degree: int, n_taps: int, tmode: str,
+                                consts: tuple,
+                                wc: WindowClass = LOCAL,
+                                interpret: bool = False
+                                ) -> jnp.ndarray:
+    """resample_twined_into with the coordinate chain (center + both
+    derivative grids) fused into the kernel. ``xfeat``/``yfeat`` carry
+    DOUBLED feature sets - [center features..., DERIV_BIAS-biased
+    features...] (see _inline_coords_rb); other operands as in
+    resample_inline_into, plus the flat (K*3,) ``spread``."""
+    nch, hp, wp = coeff.shape
+    ha, wa = aligned_dims(hp, wp, wc)
+    if (ha, wa) != (hp, wp):
+        coeff = jnp.pad(coeff, ((0, 0), (0, ha - hp), (0, wa - wp)),
+                        mode="edge")
+        nch, hp, wp = coeff.shape
+    bf16 = coeff.dtype == jnp.bfloat16
+    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
+    nt, stride = tiles.shape
+    if wc.shear_q:
+        assert stride == TILE_ROW_INTS_SHEAR, \
+            "sheared classes need row_block_shear extended tile rows"
+
+    scratch = [
+        pltpu.VMEM(((2,) if dbuf else ()) +
+                   (nch, wc.win_h, wc.win_w), coeff.dtype),
+        pltpu.SemaphoreType.DMA((2,)) if dbuf
+        else pltpu.SemaphoreType.DMA,
+    ]
+    if bf16:
+        scratch.append(pltpu.VMEM((nch, wc.win_h, wc.win_w),
+                                  jnp.float32))
+
+    nfx = xfeat.shape[0]
+    nfy = yfeat.shape[0]
+    in_specs = [
+        pl.BlockSpec((nfx, 8, TILE_W),
+                     lambda t, o, f, s: (0, 0, o[t * stride + 3]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nfy, TILE_H, 128),
+                     lambda t, o, f, s: (0, o[t * stride + 2], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (nch, TILE_H, TILE_W),
+            lambda t, o, f, s: (0, o[t * stride + 2],
+                                o[t * stride + 3]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    kern = functools.partial(_inline_twined_kernel_into,
+                             degree=degree, wc=wc, nch=nch,
+                             n_taps=n_taps, nt=nt, dbuf=dbuf,
+                             stride=stride, tmode=tmode,
+                             consts=consts)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
+        input_output_aliases={8: 0},  # canvas (incl. prefetch args)
+        interpret=interpret,
+    )(tiles.reshape(-1), faces, spread, xfeat, yfeat, bmats,
       jnp.asarray(eps, jnp.float32).reshape(1), coeff, canvas)
 
 

@@ -377,21 +377,29 @@ def _gate_bounds(bc, n):
 
 
 @functools.lru_cache(maxsize=64)
-def _inline_setup(plan, window, name, core_shape, pad, bcs, statics):
+def _inline_setup(plan, window, name, core_shape, pad, bcs, statics,
+                  twined: bool = False):
     """Host-side axis-feature arrays + static constants for an
     inline-coordinates pass (PR.resample_inline_into), keyed on the
     static geometry. ``statics`` is the hashable source static tuple
     (total extent/size/window offsets). Returns (tmode, xfeat, yfeat,
     P, consts) with xfeat (Fx, 8, W) and yfeat (Fy, H, 128) float32
     numpy arrays built from the same float64 axes the XLA coordinate
-    pass uses."""
+    pass uses. ``twined`` doubles the feature sets with the
+    DERIV_BIAS-biased axes (in-kernel derivative grids)."""
     (tex0, tex1, tey0, tey1, tw, th, wxo, wyo) = statics
     y0, y1, x0, x1 = window
     ext = plan.extent
-    xs = ST.planar_axis(plan.width, ext.x0, ext.x1, 0.0, np.float64,
-                        x0, x1)
-    ys = ST.planar_axis(plan.height, ext.y0, ext.y1, 0.0, np.float64,
-                        y0, y1)
+
+    def axes(bx, by):
+        return (ST.planar_axis(plan.width, ext.x0, ext.x1, bx,
+                               np.float64, x0, x1),
+                ST.planar_axis(plan.height, ext.y0, ext.y1, by,
+                               np.float64, y0, y1))
+
+    xs, ys = axes(0.0, 0.0)
+    xsb, _ = axes(ST.DERIV_BIAS, 0.0)
+    _, ysb = axes(0.0, ST.DERIV_BIAS)
 
     if plan.projection in (Projection.CUBEMAP, Projection.BIATAN6):
         tmode = "affine"
@@ -399,28 +407,38 @@ def _inline_setup(plan, window, name, core_shape, pad, bcs, statics):
         refc_md = section_md / 2.0
         rows = np.arange(y0, y1)
         face_of_row = np.clip(rows // plan.width, 0, 5)
-        p1 = ys + (3.0 - face_of_row) * section_md - refc_md
-        p0 = xs
-        if plan.projection == Projection.BIATAN6:
-            p0 = np.tan(p0 * (math.pi / 4.0))
-            p1 = np.tan(p1 * (math.pi / 4.0))
-        xf = [p0]
-        yf = [p1]
+        shift = (3.0 - face_of_row) * section_md - refc_md
+
+        def fx(a):
+            return (np.tan(a * (math.pi / 4.0))
+                    if plan.projection == Projection.BIATAN6 else a)
+
+        xf = [fx(xs)]
+        yf = [fx(ys + shift)]
+        if twined:
+            xf.append(fx(xsb))
+            yf.append(fx(ysb + shift))
         P = _FACE_P
     elif plan.projection == Projection.RECTILINEAR:
         tmode = "affine"
-        xf = [xs]
-        yf = [ys]
+        xf = [xs] + ([xsb] if twined else [])
+        yf = [ys] + ([ysb] if twined else [])
         P = np.eye(3, dtype=np.float32)[None]
     elif plan.projection == Projection.SPHERICAL:
         tmode = "sph"
         xf = [np.sin(xs), np.cos(xs)]
         yf = [np.sin(ys), np.cos(ys)]
+        if twined:
+            xf += [np.sin(xsb), np.cos(xsb)]
+            yf += [np.sin(ysb), np.cos(ysb)]
         P = np.eye(3, dtype=np.float32)[None]
     else:  # CYLINDRICAL
         tmode = "cyl"
         xf = [np.sin(xs), np.cos(xs)]
         yf = [ys]
+        if twined:
+            xf += [np.sin(xsb), np.cos(xsb)]
+            yf += [ysb]
         P = np.eye(3, dtype=np.float32)[None]
 
     xfeat = np.broadcast_to(
@@ -454,7 +472,7 @@ def _inline_setup(plan, window, name, core_shape, pad, bcs, statics):
 
 def _inline_eligible(plan, src, fi, name, spread, merge):
     """Can this pass run with the coordinate chain fused in-kernel?"""
-    return (spread is None and not merge
+    return (not merge
             and src.static.kind == "mount"
             and src.static.projection == Projection.SPHERICAL
             and src.spl is not None and src.spl.spherical
@@ -851,7 +869,7 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                    stt.window_x_offset, stt.window_y_offset)
         tmode, xfeat, yfeat, P, consts = _inline_setup(
             geom, window, name, spl.core_shape, spl.pad,
-            tuple(spl.bcs), statics)
+            tuple(spl.bcs), statics, twined=spread is not None)
         state["inline"][pi] = (jnp.asarray(xfeat),
                                jnp.asarray(yfeat),
                                jnp.asarray(faces))
@@ -891,12 +909,19 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                 bm = jnp.einsum("ij,fjk->fik", bas,
                                 jnp.asarray(P)).reshape(-1, 9)
                 xfeat, yfeat, fcs = st["inline"][pi]
-                canvas = PR.resample_inline_into(
-                    canvas, st["coeffs"][name], st["tiles"][pi],
-                    fcs, xfeat, yfeat, bm, eps, degree=degree,
-                    tmode=tmode, consts=consts, wc=wc,
-                    unroll=not (_same_geom(wc, PR.DIAG)
-                                or _same_geom(wc, PR.SHEAR4)))
+                if spread is None:
+                    canvas = PR.resample_inline_into(
+                        canvas, st["coeffs"][name], st["tiles"][pi],
+                        fcs, xfeat, yfeat, bm, eps, degree=degree,
+                        tmode=tmode, consts=consts, wc=wc,
+                        unroll=not (_same_geom(wc, PR.DIAG)
+                                    or _same_geom(wc, PR.SHEAR4)))
+                else:
+                    canvas = PR.resample_inline_twined_into(
+                        canvas, st["coeffs"][name], st["tiles"][pi],
+                        fcs, xfeat, yfeat, bm, st["spread"], eps,
+                        degree=degree, n_taps=n_taps, tmode=tmode,
+                        consts=consts, wc=wc)
                 continue
             bwin = _box_window(window, box)
             c0 = _coords(geom, bwin, name, st["src"], fi, (0.0, 0.0),

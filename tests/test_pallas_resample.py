@@ -629,3 +629,107 @@ def test_resample_inline_coords_kernel():
                                            atol=3e-3)
             tested += 1
         assert tested, f"no inline-eligible pass for {tproj}"
+
+
+def test_resample_inline_twined_kernel():
+    """Inline-coordinates twined kernel matches the XLA coordinate
+    passes + tap-loop reference."""
+    import math
+
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.core.facet import Facet
+    from envutil_tpu.core.metrics import get_extent, get_step
+    from envutil_tpu.models import environment as E
+    from envutil_tpu.models import stepper as ST
+    from envutil_tpu.runtime import fastpath
+    from envutil_tpu.runtime.args import Args
+    from envutil_tpu.runtime.render import build_plan
+
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0, 1, (512, 1024, 3)).astype(np.float32)
+    fct = Facet(facet_no=0, nchannels=3)
+    fct.set_geometry(Projection.SPHERICAL, 1024, 512, 2 * math.pi)
+    fct.step = get_step(Projection.SPHERICAL, 1024, 512, 2 * math.pi)
+    fct.yaw = math.radians(15)
+    fct.process_geometry()
+    src = E.make_mount_source(fct, img, 1, 1)
+
+    args = Args()
+    args.projection = Projection.RECTILINEAR
+    args.width, args.height = 256, 128
+    args.hfov = math.radians(100)
+    args.extent = get_extent(args.projection, 256, 128, args.hfov)
+    args.step = (args.extent.x1 - args.extent.x0) / 256
+    args.spline_degree = args.prefilter_degree = 1
+    args.twine = 1
+    args.twine_spread = [(-0.25, -0.25, 0.25), (0.25, -0.25, 0.25),
+                         (-0.25, 0.25, 0.25), (0.25, 0.25, 0.25)]
+    args.synopsis = "panorama"
+    args.nchannels = 3
+    args.facets = [fct]
+    args.solo = 0
+    plan = build_plan(args, [fct])
+    bias = 1.0 / ST.DERIV_BIAS
+    spread = tuple((cx * bias, cy * bias, w)
+                   for cx, cy, w in plan.spread)
+    window = (0, 128, 0, 256)
+    geom = fastpath._geom_static(plan)
+    basis = fastpath._basis_arg(plan, 0)
+    passes, assigned = fastpath.plan_passes(
+        plan, src, window, fastpath.DEFAULT_CLASSES, spread=spread)
+    assert (assigned >= 0).all()
+    tested = 0
+    for name, wc, box, tiles, merge in passes:
+        assert fastpath._inline_eligible(plan, src, 0, name, spread,
+                                         merge)
+        spl = fastpath._variant_spline(src, name)
+        stt = src.static
+        statics = (stt.total_extent.x0, stt.total_extent.x1,
+                   stt.total_extent.y0, stt.total_extent.y1,
+                   stt.total_width, stt.total_height,
+                   stt.window_x_offset, stt.window_y_offset)
+        tmode, xfeat, yfeat, P, consts = fastpath._inline_setup(
+            geom, window, name, spl.core_shape, spl.pad,
+            tuple(spl.bcs), statics, twined=True)
+        faces = np.zeros(tiles.shape[0], np.int32)
+        bas = np.asarray(basis, np.float32)
+        if name.startswith("pitched"):
+            bas = np.asarray(fastpath.PITCH_BASIS.T, np.float32) @ bas
+        bm = np.einsum("ij,fjk->fik", bas, P).reshape(-1, 9)
+        coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+        canvas = jnp.zeros((coeffp.shape[0], 128, 256), jnp.float32)
+        spread_flat = jnp.asarray(
+            np.asarray(spread, np.float32).ravel())
+        out = PR.resample_inline_twined_into(
+            canvas, coeffp, jnp.asarray(tiles), jnp.asarray(faces),
+            jnp.asarray(xfeat), jnp.asarray(yfeat), jnp.asarray(bm),
+            spread_flat, jnp.float32(0), degree=spl.degree,
+            n_taps=len(spread), tmode=tmode, consts=consts, wc=wc,
+            interpret=True)
+        out = np.moveaxis(np.asarray(out), 0, -1)
+
+        # XLA reference: coordinate passes + tap loop
+        c0 = fastpath._coords(geom, window, name, src, 0,
+                              (0.0, 0.0), basis)
+        c10 = fastpath._coords(geom, window, name, src, 0,
+                               (ST.DERIV_BIAS, 0.0), basis)
+        c01 = fastpath._coords(geom, window, name, src, 0,
+                               (0.0, ST.DERIV_BIAS), basis)
+        dux, dvx = fastpath._deriv(c0[0], c10[0], c01[0])
+        duy, dvy = fastpath._deriv(c0[1], c10[1], c01[1])
+        sspl = S.Spline2D(coeff=spl.coeff, pad=0, degree=spl.degree,
+                          bcs=(S.CONSTANT, S.CONSTANT),
+                          core_shape=spl.coeff.shape[:2])
+        ref = None
+        for cx, cy, wgt in spread:
+            v = S.eval_spline(sspl, c0[0] + cx * dux + cy * dvx,
+                              c0[1] + cx * duy + cy * dvy,
+                              apply_gate=False)
+            ref = wgt * v if ref is None else ref + wgt * v
+        ref = np.asarray(ref)
+        for row in np.asarray(tiles):
+            osl = np.s_[row[2]*PR.TILE_H:(row[2]+1)*PR.TILE_H,
+                        row[3]*PR.TILE_W:(row[3]+1)*PR.TILE_W]
+            np.testing.assert_allclose(out[osl], ref[osl], atol=3e-3)
+        tested += 1
+    assert tested
