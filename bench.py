@@ -92,8 +92,20 @@ def main():
     # one-jit fused frame: per-pass coordinates restricted to each
     # pass's tile bounding box, planar combine, single finish - the
     # exact program the fast render path runs per frame
+    from envutil_tpu.runtime import fastpath as FP
     from envutil_tpu.runtime.fastpath import fused_frame
-    frame_fn, state, assigned, passes = fused_frame(plan, src, window)
+    import os as _os
+    from envutil_tpu.ops import pallas_resample as _PR
+    if _os.environ.get("ENVUTIL_COARSE_LADDER"):
+        # experiment knob: fewer, larger classes -> fewer pallas_call
+        # launches per frame at slightly higher per-tile budgets
+        classes = (_PR.SHEAR6, _PR.SHEAR_LOCAL, _PR.LOCAL,
+                   _PR.SHEAR_MINIFY, _PR.SHEAR_DIAG, _PR.MINIFY,
+                   _PR.STEEP, _PR.DIAG)
+    else:
+        classes = FP.DEFAULT_CLASSES
+    frame_fn, state, assigned, passes = fused_frame(plan, src, window,
+                                                    classes)
     frac_fast = (assigned >= 0).mean()
     mix = ", ".join(f"{n}/{wc.name}:{(assigned == pi).sum()}"
                     for pi, (n, wc, *_r) in enumerate(passes))
