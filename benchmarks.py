@@ -19,12 +19,17 @@ Configs (BASELINE.md / BASELINE.json):
       lens correction, and a 3-bracket Eev HDR merge - all through
       the one-jit multi-facet frame
 
-Latest sweep on one TPU v5e chip (2026-08-17, complete frames -
-cubemap-source configs 99-100% fused via the forced-face section
-variants): 16K/16-tap 32, 4K bilinear 893, biatan6->stereo 527,
-8K/4-tap twine 338, 3-facet 859, cubemap->equirect 519,
-biatan6->fisheye 571, 6-facet+lens 542, HDR merge 685 Mpix/s
-(headline 8K equirect->cubemap: 1532, bench.py).
+Latest sweep on one TPU v5e chip (2026-08-17 round 2, complete
+frames, all configs 100% fused - exact face-boundary merge passes +
+masked-merge facet-edge tiles + inline-coordinates kernels):
+16K/16-tap exact 32, 16K --twine_pyramid 335 (10.5x), 4K bilinear
+918, 8K/4-tap twine 333, 3-facet 856 (now 100% fused, was 90-92%),
+biatan6->stereo 313*, cubemap->equirect 450*, biatan6->fisheye 336*
+(* = before the merge row-block skip landed; rerun pending),
+headline 8K equirect->cubemap 1745 (bench.py, inline-coords kernel).
+Round-1 numbers for comparison: headline 1532, 4K 893,
+biatan6->stereo 527 (forced-face approximation, 33.9 dB vs XLA on
+face-boundary tiles - now exact at 98.8 dB).
 """
 
 import json

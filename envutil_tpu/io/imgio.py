@@ -98,7 +98,17 @@ def convert_colour(arr: np.ndarray, src: str, dst: str,
     has_alpha = alpha_channels and nch in (2, 4)
     colour = arr[..., :nch - 1] if has_alpha else arr
 
-    if src in SRGB_NAMES and dst in LINEAR_NAMES:
+    # an active $OCIO config takes precedence, like OIIO's
+    # colorconvert (envutil_main.cc:396-437); io/ocio.py implements
+    # the algebraic transform subset without PyOpenColorIO
+    ocio_out = None
+    import os as _os
+    if _os.environ.get("OCIO") and colour.shape[-1] == 3:
+        from . import ocio as _ocio
+        ocio_out = _ocio.convert(colour, src, dst)
+    if ocio_out is not None:
+        out = ocio_out
+    elif src in SRGB_NAMES and dst in LINEAR_NAMES:
         out = srgb_to_linear(colour)
     elif src in LINEAR_NAMES and dst in SRGB_NAMES:
         out = linear_to_srgb(colour)

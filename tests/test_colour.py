@@ -74,3 +74,76 @@ def test_acescg_to_rec709_known_value():
     # published ACEScg->Rec709 (Bradford D60->D65) middle column
     np.testing.assert_allclose(out[0], [-0.62179, 1.14080, -0.12897],
                                atol=2e-4)
+
+
+def test_ocio_subset_config(tmp_path, monkeypatch):
+    """Built-in OCIO config reader: roles/aliases resolve, matrix +
+    exponent-with-linear chains apply, and the inverse direction is
+    derived from the forward spec."""
+    import textwrap
+
+    import numpy as np
+
+    from envutil_tpu.io import imgio, ocio
+
+    cfg = tmp_path / "test.ocio"
+    cfg.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        roles:
+          scene_linear: lin
+        colorspaces:
+          - name: lin
+            aliases: [linear, reference]
+          - name: srgbish
+            aliases: [my_srgb]
+            to_scene_reference: !<ExponentWithLinearTransform>
+              gamma: [2.4, 2.4, 2.4, 1]
+              offset: [0.055, 0.055, 0.055, 0]
+          - name: halfscale
+            from_scene_reference: !<MatrixTransform>
+              matrix: [0.5, 0, 0, 0,
+                       0, 0.5, 0, 0,
+                       0, 0, 0.5, 0,
+                       0, 0, 0, 1]
+          - name: wide
+            to_scene_reference: !<GroupTransform>
+              children:
+                - !<ExponentTransform> {value: [2.2, 2.2, 2.2, 1]}
+                - !<MatrixTransform>
+                  matrix: [2, 0, 0, 0,
+                           0, 2, 0, 0,
+                           0, 0, 2, 0,
+                           0, 0, 0, 1]
+        """))
+    monkeypatch.setenv("OCIO", str(cfg))
+    ocio._CACHE.clear()
+
+    v = np.linspace(0.01, 0.95, 33 * 3,
+                    dtype=np.float32).reshape(-1, 1, 3)
+
+    # the monCurve with gamma 2.4 / offset 0.055 IS the sRGB EOTF
+    out = imgio.convert_colour(v, "my_srgb", "scene_linear")
+    np.testing.assert_allclose(out, imgio.srgb_to_linear(v),
+                               atol=2e-5)
+    # inverse derived from the same forward spec
+    back = imgio.convert_colour(out, "lin", "srgbish")
+    np.testing.assert_allclose(back, v, atol=2e-5)
+
+    # matrix space, from_reference given: lin -> halfscale halves
+    out = imgio.convert_colour(v, "linear", "halfscale")
+    np.testing.assert_allclose(out, v * 0.5, atol=1e-6)
+    # and the to_reference direction inverts the matrix
+    back = imgio.convert_colour(out, "halfscale", "lin")
+    np.testing.assert_allclose(back, v, atol=1e-6)
+
+    # group chain: decode gamma 2.2 then scale x2; srgbish -> wide
+    # goes through the reference
+    out = imgio.convert_colour(v, "srgbish", "wide")
+    ref = (imgio.srgb_to_linear(v) / 2.0) ** (1 / 2.2)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # unknown name in the config -> None path falls through to the
+    # built-in spaces (Rec709 etc.) without raising
+    out = imgio.convert_colour(v, "sRGB", "scene_linear")
+    np.testing.assert_allclose(out, imgio.srgb_to_linear(v),
+                               atol=2e-5)
