@@ -41,6 +41,18 @@ NATURAL = "natural"    # point-mirrored continuation: x[-i] = 2x[0]-x[i]
 CONSTANT = "constant"  # clamp / edge replication
 ZEROPAD = "zero"
 
+# extra brace rows/columns beyond the evaluation half-width. The fused
+# twined kernel deflects tap coordinates AFTER the gate (the exact path
+# gates each tap, eval.h:2003-2031); for REFLECT/PERIODIC braces the
+# extension is the gate's fixed point (S(-1-x) = S(x) under a reflect
+# brace, S(x) = S(x mod n) under a periodic one), so letting deflected
+# taps read the brace is bit-equal to gating them - provided the brace
+# is wide enough. Two extra samples cover the sub-pixel-to-2px spreads
+# auto-twining generates and keep the twined tap footprint inside the
+# padded array, so the classifier can fuse facet-edge/pole tiles
+# instead of falling back to the XLA patch scan.
+EXTRA_BRACE = 2
+
 
 def extend_axis(a: jnp.ndarray, axis: int, lo: int, hi: int,
                 bc: str) -> jnp.ndarray:
@@ -248,7 +260,7 @@ def make_spline(image: jnp.ndarray, spline_degree: int,
     if prefilter_degree is None:
         prefilter_degree = spline_degree
     pad = max(_basis.eval_half_width(spline_degree),
-              _basis.eval_half_width(prefilter_degree))
+              _basis.eval_half_width(prefilter_degree)) + EXTRA_BRACE
     if spherical:
         c = spherical_prefilter(image, prefilter_degree)
         c = spherical_brace(c, pad, pad)
@@ -287,7 +299,7 @@ def make_spline_from_coeffs(coeffs: jnp.ndarray, spline_degree: int,
                             bcs=(REFLECT, REFLECT)) -> Spline2D:
     """Wrap already-computed spline coefficients (e.g. the per-section
     prefiltered cubemap IR) in a braced Spline2D without prefiltering."""
-    pad = _basis.eval_half_width(spline_degree)
+    pad = _basis.eval_half_width(spline_degree) + EXTRA_BRACE
     c = extend_axis(coeffs, 0, pad, pad, bcs[0])
     c = extend_axis(c, 1, pad, pad, bcs[1])
     return Spline2D(coeff=c, pad=pad, degree=spline_degree,

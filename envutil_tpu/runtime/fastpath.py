@@ -139,13 +139,20 @@ def _geom_static(plan):
                    static_argnames=("plan", "window", "name", "fi",
                                     "bias", "dom_neutral"))
 def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
-            basis=None, dom_neutral: bool = False):
+            basis=None, dom_neutral: bool = False, fill_mask=None):
     """Per-pixel padded spline coordinates + validity mask + ray z (the
     voronoi centrality criterion) for one source variant of facet
     ``fi``. ``bias`` offsets the sampling grid by a sub-pixel step
     (derivative grids for twining, stepper.h:1587-1715). ``basis`` is
     the traced camera-to-facet rotation (None only when the plan's
-    transform chain embeds it)."""
+    transform chain embeds it).
+
+    ``fill_mask`` (dom_neutral only): use this mask for the coordinate
+    fill instead of the grid's own. Derivative grids are filled with
+    the CENTER grid's mask so differencing them yields true
+    derivatives at every kept pixel - a biased grid's own mask shifts
+    at the validity boundary, and mixing a real coordinate with a
+    fill there produces margin spikes that bust the class budgets."""
     assert (basis is None) == (plan.planar_to_ray[fi] is not None), \
         "pass the rotation for plain plans, None for generic chains"
     ray = ST.target_rays(plan.projection, plan.width, plan.height,
@@ -174,6 +181,7 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
         # a validity mask - cubemap sources cover the full sphere.
         fv, _fx2, _fy2 = geo.ray_to_cubeface(*ray)
         mask = fv == face
+        fm = mask if fill_mask is None else fill_mask
         if dom_neutral:
             # merge-pass form: pixels this face does not dominate are
             # masked out by the kernel. Pin them to the face edge for
@@ -183,16 +191,16 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
             # constrain the window fit NOR perturb the kernel's
             # per-lane column minima (stats and kernel see the same
             # filled planes).
-            fx = jnp.where(mask, fx, jnp.clip(fx, -1.0, 1.0))
-            fy = jnp.where(mask, fy, jnp.clip(fy, -1.0, 1.0))
+            fx = jnp.where(fm, fx, jnp.clip(fx, -1.0, 1.0))
+            fy = jnp.where(fm, fy, jnp.clip(fy, -1.0, 1.0))
         if st.projection == Projection.BIATAN6:
             fx = (4.0 / math.pi) * jnp.arctan(fx)
             fy = (4.0 / math.pi) * jnp.arctan(fy)
         sx = (fx + m.refc_md) * m.model_to_px - 0.5 + spl.pad
         sy = (fy + m.refc_md) * m.model_to_px - 0.5 + spl.pad
         if dom_neutral:
-            sx = PR.masked_coord_fill(sx, mask)
-            sy = PR.masked_coord_fill(sy, mask)
+            sx = PR.masked_coord_fill(sx, fm)
+            sy = PR.masked_coord_fill(sy, fm)
         else:
             # whole-tile form (uniform tiles): central projection is
             # 2-to-1 - a ray pointing at the OPPOSITE face aliases to
@@ -233,8 +241,9 @@ def _coords(plan, window, name, src, fi: int = 0, bias=(0.0, 0.0),
         # every window budget of edge tiles. Replace them with their
         # vreg's valid-pixel linear fit so stats and kernel see the
         # same bounded planes (see plan_passes' boundary phase).
-        sx = PR.masked_coord_fill(sx, mask)
-        sy = PR.masked_coord_fill(sy, mask)
+        fm = mask if fill_mask is None else fill_mask
+        sx = PR.masked_coord_fill(sx, fm)
+        sy = PR.masked_coord_fill(sy, fm)
     return sx, sy, mask, ray_z
 
 
@@ -583,10 +592,10 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                              basis, dom_neutral=True)
                 c10 = _coords(geom, bwin, name, src, fi,
                               (ST.DERIV_BIAS, 0.0), basis,
-                              dom_neutral=True)
+                              dom_neutral=True, fill_mask=c0[2])
                 c01 = _coords(geom, bwin, name, src, fi,
                               (0.0, ST.DERIV_BIAS), basis,
-                              dom_neutral=True)
+                              dom_neutral=True, fill_mask=c0[2])
                 dux, dvx = _deriv(c0[0], c10[0], c01[0])
                 duy, dvy = _deriv(c0[1], c10[1], c01[1])
                 cmx = max(abs(c[0]) for c in spread)
@@ -820,12 +829,11 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     vanishing carry-dependent value to defeat loop hoisting). Tiles
     with ``assigned == -1`` hold zeros and must be patched by the
     caller; ``assigned == ZERO_PASS`` tiles are genuinely empty."""
-    # pertap frames skip the masked-merge phase: their synopsis masks
-    # are per-tap *deflected* validity, so an undeflected merge mask
-    # would zero pixels a deflected tap can legitimately read - the
-    # (now in-jit) XLA fallback stays exact for those edge tiles
+    # pertap frames use masked-merge too, but their kernel masks come
+    # from the caller's per-tap deflected validity (st["tap_mask"] in
+    # frame() below) rather than the undeflected coverage
     passes, assigned = plan_passes(plan, src, window, classes, fi,
-                                   spread, masked_merge=not pertap)
+                                   spread)
     geom = _geom_static(plan)
     nch_out = plan.nchannels if nch_out is None else nch_out
     brighten = src.static.brighten if brighten is None else brighten
@@ -839,6 +847,9 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     if pertap:
         state["spread"] = jnp.asarray(
             [spread[0][0], spread[0][1], 1.0], jnp.float32)
+        # placeholder; the per-tap driver swaps in each tap's
+        # deflected validity mask (float32 0/1) before calling frame
+        state["tap_mask"] = jnp.ones((ph, pw), jnp.float32)
     elif spread is not None:
         state["spread"] = jnp.asarray(
             np.asarray(spread, np.float32).reshape(-1))
@@ -932,6 +943,17 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                 # sec "masks" carry face dominance, not validity
                 mask0 = m
             mm = m.astype(jnp.float32) if merge else None
+            if merge and pertap and not name.startswith("sec"):
+                # per-tap frames: the caller supplies the TAP's own
+                # deflected validity through the state, so merge
+                # passes write exactly the pixels this tap's synopsis
+                # mask keeps. Band pixels just outside the strict
+                # validity read fit-extrapolated, valid-span-clamped
+                # coordinates (masked_coord_fill) - within ~1 px of
+                # the exact pickup, replacing a per-tap XLA patch.
+                ty0, ty1, tx0, tx1 = box
+                mm = st["tap_mask"][ty0 * PR.TILE_H:ty1 * PR.TILE_H,
+                                    tx0 * PR.TILE_W:tx1 * PR.TILE_W]
             if spread is None:
                 canvas = PR.resample_planar_into(
                     canvas, st["coeffs"][name], sx + eps, sy,
@@ -940,12 +962,13 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                                 or _same_geom(wc, PR.SHEAR4)),
                     merge_mask=mm)
             else:
+                fmk = m if merge else None
                 c10 = _coords(geom, bwin, name, st["src"], fi,
                               (ST.DERIV_BIAS, 0.0), st["basis"],
-                              dom_neutral=merge)
+                              dom_neutral=merge, fill_mask=fmk)
                 c01 = _coords(geom, bwin, name, st["src"], fi,
                               (0.0, ST.DERIV_BIAS), st["basis"],
-                              dom_neutral=merge)
+                              dom_neutral=merge, fill_mask=fmk)
                 dux, dvx = _deriv(sx, c10[0], c01[0])
                 duy, dvy = _deriv(sy, c10[1], c01[1])
                 canvas = PR.resample_twined_into(
@@ -1438,19 +1461,20 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
             px_list, mask_list, score_list = [], [], []
             for fi, (frame_fn, n_fast, bad, degree, brighten) in \
                     enumerate(per_facet):
-                st_k = dict(sts[fi])
-                st_k["spread"] = jnp.stack([cx, cy,
-                                            jnp.float32(1.0)])
-                if n_fast:
-                    img_f = frame_fn(st_k, jnp.float32(0))
-                else:
-                    img_f = jnp.zeros((ph, pw, plan.nchannels),
-                                      jnp.float32)
                 mask, score = _tap_mask_score(
                     geom, window, sts[fi]["src"], fi,
                     jnp.stack([cx * ST.DERIV_BIAS,
                                cy * ST.DERIV_BIAS]),
                     sts[fi]["basis"])
+                st_k = dict(sts[fi])
+                st_k["spread"] = jnp.stack([cx, cy,
+                                            jnp.float32(1.0)])
+                st_k["tap_mask"] = mask.astype(jnp.float32)
+                if n_fast:
+                    img_f = frame_fn(st_k, jnp.float32(0))
+                else:
+                    img_f = jnp.zeros((ph, pw, plan.nchannels),
+                                      jnp.float32)
                 if bad:
                     sx0, sy0, dux, duy, dvx, dvy = derivs[fi]
                     img_f = _patch_tiles_batch_tap(
