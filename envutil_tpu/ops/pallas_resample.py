@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import basis as _basis
+
+# ENVUTIL_INTERPRET=1 forces every kernel into Pallas interpreter mode
+# (and fastpath.eligible() then admits the CPU backend), so the whole
+# fused product path can be driven end-to-end without TPU hardware.
+FORCE_INTERPRET = os.environ.get("ENVUTIL_INTERPRET") == "1"
 
 TILE_H = 128
 TILE_W = 128
@@ -82,12 +88,21 @@ class WindowClass:
     cand_c: int     # candidate lane-blocks of 128 per vreg
     k_taps: int     # horizontal tap columns per pixel lane
     shear_q: int = 0  # sheared bands of 8 rows (0 = unsheared)
+    # union-tap evaluation (twined kernels only): gather the column
+    # resolve and n1 + u_span candidate rows ONCE per tap column and
+    # route every twining tap through VPU selects, instead of paying
+    # the full gather chain per tap. Admissible when every pixel's
+    # K-tap row footprint (floor(sy+my) - floor(sy-my)) fits u_span
+    # rows - the column side is already covered by the k_taps drift
+    # budget, which tile_stats_range computes over the full footprint.
+    u_span: int = 0
 
     @property
     def name(self):
         s = f"q{self.shear_q}" if self.shear_q else ""
+        u = f"u{self.u_span}" if self.u_span else ""
         return (f"w{self.win_h}x{self.win_w}r{self.cand_r}"
-                f"c{self.cand_c}k{self.k_taps}{s}")
+                f"c{self.cand_c}k{self.k_taps}{s}{u}")
 
 
 # general local warps (|dy/dx_out| up to ~0.4, sublane x-drift <= 4)
@@ -383,6 +398,218 @@ def _resolve_sheared(sx, sy, bands, a_f, b_f, *, degree: int,
     return accs
 
 
+def _tap_coords(sx, sy, dux, duy, dvx, dvy, spread_ref, ti):
+    """Deflect the center coordinates by twining tap ``ti``."""
+    cx_t = spread_ref[ti * 3]
+    cy_t = spread_ref[ti * 3 + 1]
+    w_t = spread_ref[ti * 3 + 2]
+    sxt = sx + cx_t * dux + cy_t * dvx
+    syt = sy + cx_t * duy + cy_t * dvy
+    return sxt, syt, w_t
+
+
+def _union_minima(sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
+                  degree: int):
+    """Elementwise minima of the integer tap bases over all twining
+    taps (the union-tap kernel's shared gather origin)."""
+    off = degree // 2
+
+    def body(ti, carry):
+        bymin, bxmin = carry
+        sxt, syt, _w = _tap_coords(sx, sy, dux, duy, dvx, dvy,
+                                   spread_ref, ti)
+        by = _split(syt, degree)[0] - off
+        bx = _split(sxt, degree)[0] - off
+        return jnp.minimum(bymin, by), jnp.minimum(bxmin, bx)
+
+    big = jnp.full(sx.shape, 2 ** 30, jnp.int32)
+    return jax.lax.fori_loop(0, n_taps, body, (big, big))
+
+
+def _tap_weights(sxt, syt, bxc_u, degree: int, wc: WindowClass):
+    """Per-tap routing against the union column base: combined
+    (j, kappa) weights and the integer row base."""
+    n1 = degree + 1
+    off = degree // 2
+    sely, ty = _split(syt, degree)
+    by = sely - off
+    wy = _weights_poly(ty, degree)
+    selx, tx = _split(sxt, degree)
+    bx = selx - off
+    delta = bx - bxc_u
+    wx = _weights_poly(tx, degree)
+    wk = []
+    for k in range(wc.k_taps):
+        acc_w = None
+        for j in range(n1):
+            if k - j < 0:
+                continue
+            acc_w = jnp.where(delta == (k - j), wx[j],
+                              0.0 if acc_w is None else acc_w)
+        wk.append(acc_w if acc_w is not None
+                  else jnp.zeros(sxt.shape, jnp.float32))
+    wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
+           for j in range(n1)]
+    return wjk, by
+
+
+def _accumulate_union(cand, m_t, wjk, w_t, acc, *, degree: int,
+                      wc: WindowClass, nch: int):
+    """Route one tap through the shared candidate rows: candidate
+    ``m_t + j`` is this tap's j-th vertical tap (selected with a
+    u_span-deep where cascade - VPU work, no gathers)."""
+    n1 = degree + 1
+    sels = [m_t == s for s in range(1, wc.u_span + 1)]
+    for k in range(wc.k_taps):
+        for j in range(n1):
+            w = w_t * wjk[j][k]
+            for ch in range(nch):
+                v = cand[k][j][ch]
+                for s in range(1, wc.u_span + 1):
+                    v = jnp.where(sels[s - 1], cand[k][j + s][ch], v)
+                acc[ch] = acc[ch] + w * v
+    return acc
+
+
+def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
+                          n_taps: int, win_ref, *, degree: int,
+                          wc: WindowClass, nch: int, rb0, cb0):
+    """K-tap twined evaluation of one (8, TILE_W) row-block with the
+    gather work shared across taps: the column resolve and
+    n1 + u_span candidate rows are gathered ONCE per tap column
+    (against the union tap bases), then each twining tap routes
+    through them with per-element selects. Gather count is
+    K-independent; admission requires the u_span row-footprint budget
+    (classify_tiles) on top of the k_taps drift budget, which already
+    covers the union column footprint (tile_stats_range)."""
+    n1 = degree + 1
+    U = wc.u_span
+
+    bymin, bxmin = _union_minima(sx, sy, dux, duy, dvx, dvy,
+                                 spread_ref, n_taps, degree)
+    bxc_u = jnp.broadcast_to(jnp.min(bxmin, axis=0, keepdims=True),
+                             sx.shape)
+    if rb0 is None:
+        rb0 = jnp.clip((jnp.min(bymin) // 8) * 8, 0,
+                       wc.win_h - 8 * wc.cand_r)
+        rb0 = pl.multiple_of(rb0, 8)
+    if cb0 is None:
+        cb0 = jnp.clip((jnp.min(bxc_u) // 128) * 128, 0,
+                       wc.win_w - 128 * wc.cand_c)
+        cb0 = pl.multiple_of(cb0, 128)
+    lxc = jnp.clip(bxc_u - cb0, 0, 128 * wc.cand_c - 1)
+    rl_lo = jnp.clip(bymin - rb0, 0, 8 * wc.cand_r - 1 - degree)
+
+    # shared gathers: column resolve + candidate rows, once per k
+    rrm = [jnp.minimum(rl_lo + m, 8 * wc.cand_r - 1)
+           for m in range(n1 + U)]
+    cand = [[[None] * nch for _m in range(n1 + U)]
+            for _k in range(wc.k_taps)]
+    blocks = [
+        [[win_ref[ch, pl.ds(rb0 + 8 * b, 8),
+                  pl.ds(cb0 + 128 * cc, 128)]
+          for cc in range(wc.cand_c)]
+         for b in range(wc.cand_r)]
+        for ch in range(nch)
+    ]
+    for k in range(wc.k_taps):
+        cx = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
+        qc = cx >> 7
+        rc = cx & 127
+        for ch in range(nch):
+            tb = []
+            for b in range(wc.cand_r):
+                v = jnp.take_along_axis(blocks[ch][b][0], rc, axis=1)
+                for cc in range(1, wc.cand_c):
+                    g = jnp.take_along_axis(blocks[ch][b][cc], rc,
+                                            axis=1)
+                    v = jnp.where(qc == cc, g, v)
+                tb.append(v)
+            for m in range(n1 + U):
+                rr = rrm[m] & 7
+                qb = rrm[m] >> 3
+                v = jnp.take_along_axis(tb[0], rr, axis=0)
+                for b in range(1, wc.cand_r):
+                    g = jnp.take_along_axis(tb[b], rr, axis=0)
+                    v = jnp.where(qb == b, g, v)
+                cand[k][m][ch] = v
+
+    def tap_body(ti, acc):
+        sxt, syt, w_t = _tap_coords(sx, sy, dux, duy, dvx, dvy,
+                                    spread_ref, ti)
+        wjk, by = _tap_weights(sxt, syt, bxc_u, degree, wc)
+        ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
+        m_t = ly - rl_lo
+        return tuple(_accumulate_union(cand, m_t, wjk, w_t, list(acc),
+                                       degree=degree, wc=wc, nch=nch))
+
+    acc0 = tuple(jnp.zeros(sx.shape, jnp.float32) for _c in range(nch))
+    return list(jax.lax.fori_loop(0, n_taps, tap_body, acc0))
+
+
+def _resolve_sheared_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
+                           n_taps: int, bands, a_f, b_f, *,
+                           degree: int, wc: WindowClass, nch: int,
+                           cb0, col0):
+    """Union-tap variant of _resolve_sheared: column resolve + the
+    n1 + u_span candidate band rows gathered once per tap column,
+    every twining tap routed through VPU selects. The shear row
+    S(tap column) is tap-invariant under the union column base, so a
+    tap's candidate index by_t - bymin is k-independent."""
+    n1 = degree + 1
+    U = wc.u_span
+    Q = wc.shear_q
+    colb = col0 + cb0
+
+    bymin, bxmin = _union_minima(sx, sy, dux, duy, dvx, dvy,
+                                 spread_ref, n_taps, degree)
+    bxc_u = jnp.broadcast_to(jnp.min(bxmin, axis=0, keepdims=True),
+                             sx.shape)
+    lxc = jnp.clip(bxc_u - cb0, 0, 128 * wc.cand_c - 1)
+
+    cand = [[[None] * nch for _m in range(n1 + U)]
+            for _k in range(wc.k_taps)]
+    for k in range(wc.k_taps):
+        cxi = jnp.minimum(lxc + k, 128 * wc.cand_c - 1)
+        qc = cxi >> 7
+        rc = cxi & 127
+        ct_abs = (colb + cxi).astype(jnp.float32)
+        s_tap = jnp.floor(a_f + b_f * ct_abs).astype(jnp.int32)
+        r_lo = bymin - s_tap
+        cbs = []
+        for ch in range(nch):
+            per_q = []
+            for q in range(Q):
+                v = jnp.take_along_axis(bands[ch][q][0], rc, axis=1)
+                for cc in range(1, wc.cand_c):
+                    g = jnp.take_along_axis(bands[ch][q][cc], rc,
+                                            axis=1)
+                    v = jnp.where(qc == cc, g, v)
+                per_q.append(v)
+            cbs.append(per_q)
+        for m in range(n1 + U):
+            r = jnp.clip(r_lo + m, 0, 8 * Q - 1)
+            rr_m = r & 7
+            qb_m = r >> 3
+            for ch in range(nch):
+                v = jnp.take_along_axis(cbs[ch][0], rr_m, axis=0)
+                for q in range(1, Q):
+                    g = jnp.take_along_axis(cbs[ch][q], rr_m, axis=0)
+                    v = jnp.where(qb_m == q, g, v)
+                cand[k][m][ch] = v
+
+    def tap_body(ti, acc):
+        sxt, syt, w_t = _tap_coords(sx, sy, dux, duy, dvx, dvy,
+                                    spread_ref, ti)
+        wjk, by = _tap_weights(sxt, syt, bxc_u, degree, wc)
+        m_t = by - bymin
+        return tuple(_accumulate_union(cand, m_t, wjk, w_t, list(acc),
+                                       degree=degree, wc=wc, nch=nch))
+
+    acc0 = tuple(jnp.zeros(sx.shape, jnp.float32) for _c in range(nch))
+    return list(jax.lax.fori_loop(0, n_taps, tap_body, acc0))
+
+
 def _eval_row_block_sheared(sx, sy, win_ref, *, degree: int,
                             wc: WindowClass, nch: int, rb0, cb0,
                             a_fix, b_fix, col0):
@@ -498,7 +725,7 @@ def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nch, h, w), jnp.float32),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(origins, sx, sy, coeff)
 
 
@@ -671,7 +898,7 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                         mode="edge")
         nch, hp, wp = coeff.shape
     bf16 = coeff.dtype == jnp.bfloat16
-    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
+    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not (interpret or FORCE_INTERPRET)
     nt, stride = tiles.shape
     if wc.shear_q:
         assert stride == TILE_ROW_INTS_SHEAR, \
@@ -730,7 +957,7 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
         input_output_aliases=alias,  # canvas (incl. scalar operand)
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(*operands)
 
 
@@ -917,7 +1144,7 @@ def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                         mode="edge")
         nch, hp, wp = coeff.shape
     bf16 = coeff.dtype == jnp.bfloat16
-    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
+    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not (interpret or FORCE_INTERPRET)
     nt, stride = tiles.shape
     if wc.shear_q:
         assert stride == TILE_ROW_INTS_SHEAR, \
@@ -966,7 +1193,7 @@ def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
         input_output_aliases={7: 0},  # canvas (incl. prefetch args)
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(tiles.reshape(-1), faces, xfeat, yfeat, bmats,
       jnp.asarray(eps, jnp.float32).reshape(1), coeff, canvas)
 
@@ -1027,6 +1254,21 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
             cb0 = pl.multiple_of(
                 tiles_ref[t * stride + TILE_ROW_INTS + 2 * r + 1], 128)
 
+        if wc.u_span and n_taps > 1:
+            if wc.shear_q:
+                acc = _resolve_sheared_union(
+                    sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
+                    bands, a_f, b_f, degree=degree, wc=wc, nch=nch,
+                    cb0=cb0, col0=tiles_ref[t * stride + 5])
+            else:
+                acc = _eval_row_block_union(
+                    sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
+                    win, degree=degree, wc=wc, nch=nch, rb0=rb0,
+                    cb0=cb0)
+            for ch in range(nch):
+                out_ref[ch, sl8, :] = acc[ch]
+            return _
+
         def tap_body(ti, acc):
             cx_t = spread_ref[ti * 3]
             cy_t = spread_ref[ti * 3 + 1]
@@ -1080,7 +1322,7 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
                         mode="edge")
         nch, hp, wp = coeff.shape
     bf16 = coeff.dtype == jnp.bfloat16
-    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
+    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not (interpret or FORCE_INTERPRET)
     nt, stride = tiles.shape
     if wc.shear_q:
         assert stride == TILE_ROW_INTS_SHEAR, \
@@ -1130,7 +1372,7 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
         input_output_aliases={8: 0},  # canvas (incl. prefetch args)
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(tiles.reshape(-1), faces, spread, xfeat, yfeat, bmats,
       jnp.asarray(eps, jnp.float32).reshape(1), coeff, canvas)
 
@@ -1230,6 +1472,18 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
             cb0 = pl.multiple_of(
                 tiles_ref[t * stride + TILE_ROW_INTS + 2 * r + 1], 128)
 
+        if wc.u_span and n_taps > 1:
+            # union-tap path: gathers shared across taps, per-tap
+            # routing on the VPU (K-independent gather count)
+            if wc.shear_q:
+                return _resolve_sheared_union(
+                    sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
+                    bands, a_f, b_f, degree=degree, wc=wc, nch=nch,
+                    cb0=cb0, col0=tiles_ref[t * stride + 5])
+            return _eval_row_block_union(
+                sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps, win,
+                degree=degree, wc=wc, nch=nch, rb0=rb0, cb0=cb0)
+
         def tap_body(ti, acc):
             cx_t = spread_ref[ti * 3]
             cy_t = spread_ref[ti * 3 + 1]
@@ -1299,7 +1553,7 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
         assert stride == TILE_ROW_INTS_SHEAR, \
             "sheared classes need row_block_shear extended tile rows"
     bf16 = coeff.dtype == jnp.bfloat16
-    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not interpret
+    dbuf = _dbuf_ok(wc, nch, coeff.dtype.itemsize) and not (interpret or FORCE_INTERPRET)
 
     scratch = [
         pltpu.VMEM(((2,) if dbuf else ()) +
@@ -1351,7 +1605,7 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
         input_output_aliases=alias,
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(*operands)
 
 
@@ -1539,7 +1793,7 @@ def resample_twined(coeff, sx, sy, dux, duy, dvx, dvy, origins,
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nch, h, w), jnp.float32),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(origins, spread, sx, sy, dux, duy, dvx, dvy, coeff)
 
 
@@ -1691,7 +1945,14 @@ def tile_stats_fit_range(sx, sy, mx, my, degree: int):
     # deflection moves the row base by up to floor(my)+1 and the tap
     # column by up to floor(mx)+1 (each its own floor)
     slack = jnp.ceil(myv + bq * (mxv + 1.0)).astype(jnp.int32) + 2
-    return rng + (a_fix, b_fix, rlo - slack, rhi + slack)
+    # stat 9: per-vreg max of the per-PIXEL tap row-footprint span in
+    # integer row bases - the u_span budget of the union-tap kernel
+    # (every tap's row base at one pixel lies between the two splits)
+    half = 0.0 if degree % 2 else 0.5
+    rspan = (jnp.floor(sy + my + half)
+             - jnp.floor(sy - my + half)).astype(jnp.int32)
+    rspan_v = jnp.max(v(rspan), axis=(1, 3))
+    return rng + (a_fix, b_fix, rlo - slack, rhi + slack, rspan_v)
 
 
 @jax.jit
@@ -1752,6 +2013,12 @@ def classify_tiles(stats, hp: int, wp: int, degree: int,
         rlo = np.asarray(stats[7])
         rhi = np.asarray(stats[8])
         vreg_ok &= (rhi - rlo) <= 8 * wc.shear_q - degree - 3
+    if wc.u_span:
+        # union-tap evaluation: every pixel's K-tap row footprint must
+        # fit the statically unrolled candidate rows
+        assert len(stats) >= 10, \
+            "u_span class needs tile_stats_fit_range"
+        vreg_ok &= np.asarray(stats[9]) <= wc.u_span
     t_vreg_ok = tile_view(vreg_ok).all(axis=(1, 3))
 
     fast = fits & t_vreg_ok

@@ -99,7 +99,7 @@ def eligible(plan, sources, allow_spread: bool = False) -> bool:
         return False
     if src.spl is None or src.spl.degree > 7:
         return False
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not PR.FORCE_INTERPRET:
         return False  # the Mosaic kernel is TPU-only
     return True
 
@@ -561,6 +561,22 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 shifted.append(dataclasses.replace(wc, k_taps=k))
             shifted.append(wc)
         classes = tuple(shifted)
+    if spread is not None and len(spread) > 1:
+        # union-tap variants first: same geometry plus the per-pixel
+        # row-footprint budget; admitted tiles pay the gather chain
+        # once for all K taps instead of K times (the kernel ignores
+        # u_span when it runs single-tap, so pertap frames share the
+        # same pass structure). Tiles that bust the row-span budget
+        # (strong minification margins) keep the per-tap original.
+        uni = []
+        for wc in classes:
+            uni.append(dataclasses.replace(wc, u_span=2))
+            if wc.cand_r >= 8:
+                # roomy-window classes also try a deeper span before
+                # giving up (heavy twining: 16-tap minified configs)
+                uni.append(dataclasses.replace(wc, u_span=6))
+            uni.append(wc)
+        classes = tuple(uni)
     _last_resort = (PR.SHEAR_DIAG, PR.STEEP, PR.DIAG)
     cheap = [wc for wc in classes
              if not any(_same_geom(wc, l) for l in _last_resort)]

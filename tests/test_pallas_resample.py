@@ -258,6 +258,68 @@ def test_resample_twined_into_merge_mask():
                                atol=5e-5)
 
 
+@pytest.mark.parametrize("sheared", [False, True],
+                         ids=["plain", "sheared"])
+@pytest.mark.parametrize("n_taps,defl,u_span",
+                         [(4, 0.5, 2), (16, 1.5, 6)],
+                         ids=["4tap", "16tap"])
+def test_resample_twined_union_taps(sheared, n_taps, defl, u_span):
+    """Union-tap twined evaluation (u_span classes): gathers shared
+    across taps, per-tap VPU routing - must match the XLA tap loop
+    exactly for both the plain and the sheared window paths."""
+    import dataclasses
+    import itertools
+
+    img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
+    spl = S.make_spline(img, 3, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 256, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    sx = (60 + 0.9 * jj + 3 * np.sin(ii / 40)).astype(np.float32)
+    sy = (40 + 0.7 * ii + 0.15 * jj
+          + 2 * np.sin(jj / 50)).astype(np.float32)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    side = int(round(math.sqrt(n_taps)))
+    g = np.linspace(-defl, defl, side)
+    spread = tuple((float(cx), float(cy), 1.0 / n_taps)
+                   for cy, cx in itertools.product(g, g))
+    dux = jnp.full(px.shape, 0.9, jnp.float32)
+    duy = jnp.full(px.shape, 0.2, jnp.float32)
+    dvx = jnp.full(px.shape, -0.2, jnp.float32)
+    dvy = jnp.full(px.shape, 0.8, jnp.float32)
+    cmx = max(abs(c[0]) for c in spread)
+    cmy = max(abs(c[1]) for c in spread)
+    mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+    my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+    stats = [np.asarray(s) for s in
+             PR.tile_stats_fit_range(px, py, mx, my, 3)]
+    assert stats[9].max() <= u_span  # the budget the kernel relies on
+    nty, ntx = H // PR.TILE_H, W // PR.TILE_W
+    if sheared:
+        wc = dataclasses.replace(PR.SHEAR_LOCAL_3, u_span=u_span)
+        tiles = _shear_tiles(stats, nty, ntx, 3, wc,
+                             coeffp.shape[1], coeffp.shape[2])
+    else:
+        wc = dataclasses.replace(PR.LOCAL, u_span=u_span)
+        tiles = _compact_tiles(stats, nty, ntx, 3, wc,
+                               coeffp.shape[1], coeffp.shape[2])
+    spread_flat = jnp.asarray(np.asarray(spread, np.float32).ravel())
+    canvas = jnp.zeros((coeffp.shape[0],) + px.shape, jnp.float32)
+    out = PR.resample_twined_into(canvas, coeffp, px, py, dux, duy,
+                                  dvx, dvy, jnp.asarray(tiles),
+                                  spread_flat, degree=3,
+                                  n_taps=n_taps, wc=wc, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    ref = None
+    for cx, cy, wgt in spread:
+        v = S.eval_spline(spl, px + cx * dux + cy * dvx - spl.pad,
+                          py + cx * duy + cy * dvy - spl.pad,
+                          apply_gate=False)
+        ref = wgt * v if ref is None else ref + wgt * v
+    np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
+
+
 def test_masked_coord_fill_budgets():
     """The fill never widens a vreg's span (clamped to the valid
     range) and valid pixels pass through untouched."""
