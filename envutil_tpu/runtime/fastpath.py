@@ -491,7 +491,8 @@ def _inline_eligible(plan, src, fi, name, spread, merge):
 
 
 def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
-                masked_merge: bool = True):
+                masked_merge: bool = True, exclude=None,
+                want_union: bool = True):
     """Host-side pass planner: each (window class, variant) pair is
     only evaluated over the tile bounding box of the still-unassigned
     tiles, so the expensive coordinate passes for seam/pole variants
@@ -508,7 +509,12 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
     out_by, out_bx, oy, ox) for resample_planar_into - one row per
     tile the pass owns - and the merge flag (face-boundary overlay
     passes: the kernel writes only the pixels the pass's face
-    dominates, see the boundary phase below)."""
+    dominates, see the boundary phase below).
+
+    ``exclude`` (bool (nty, ntx)) reserves tiles for the caller: they
+    are never assigned to a pass (nor to ZERO_PASS) and come back as
+    -1, to be patched with caller-specific semantics (e.g. the
+    per-tap-masked facet-edge band of a partial twined render)."""
     geom = _geom_static(plan)
     basis = _basis_arg(plan, fi)
     names = _variant_names(src)
@@ -522,6 +528,9 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
     covered = np.asarray(mask).reshape(
         nty, PR.TILE_H, ntx, PR.TILE_W).any(axis=(1, 3))
     assigned[~covered] = ZERO_PASS
+    excl = (np.zeros((nty, ntx), bool) if exclude is None
+            else np.asarray(exclude, bool))
+    assigned[excl] = -1  # reserved for the caller, even if uncovered
 
     # cubemap face dominance: sec{i} may claim a whole tile outright
     # only when face i dominates every pixel (forcing a boundary
@@ -561,13 +570,14 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 shifted.append(dataclasses.replace(wc, k_taps=k))
             shifted.append(wc)
         classes = tuple(shifted)
-    if spread is not None and len(spread) > 1:
+    if spread is not None and len(spread) > 1 and want_union:
         # union-tap variants first: same geometry plus the per-pixel
         # row-footprint budget; admitted tiles pay the gather chain
-        # once for all K taps instead of K times (the kernel ignores
-        # u_span when it runs single-tap, so pertap frames share the
-        # same pass structure). Tiles that bust the row-span budget
-        # (strong minification margins) keep the per-tap original.
+        # once for all K taps instead of K times. Tiles that bust the
+        # row-span budget (strong minification margins) keep the
+        # per-tap original. Pertap frames pass want_union=False: their
+        # kernels run single-tap, where a u-variant only splits tiles
+        # into an extra pallas_call for identical work.
         uni = []
         for wc in classes:
             uni.append(dataclasses.replace(wc, u_span=2))
@@ -624,7 +634,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
         return stats_cache[key]
 
     for wc, name in order:
-        rem = assigned == -1
+        rem = (assigned == -1) & ~excl
         if not rem.any():
             break
         ys, xs = np.nonzero(rem)
@@ -690,7 +700,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
     # coordinates as the full-IR evaluation), so the composite equals
     # the exact XLA render. A tile joins only if EVERY face present in
     # it classifies; otherwise it stays -1 (XLA fallback).
-    rem = assigned == -1
+    rem = (assigned == -1) & ~excl
     if has_sec and rem.any():
         ys, xs = np.nonzero(rem)
         box = (int(ys.min()), int(ys.max()) + 1,
@@ -774,14 +784,14 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
     # their vreg's valid-pixel fit) and emit MERGE passes that write
     # only the valid pixels - identical values to the exact path
     # there, and the finish/synopsis masks never read the rest.
-    rem = assigned == -1
+    rem = (assigned == -1) & ~excl
     if masked_merge and not has_sec and rem.any() \
             and src.spl is not None:
         covm = np.asarray(mask).reshape(nty, PR.TILE_H, ntx,
                                         PR.TILE_W)
         partial = covm.any(axis=(1, 3)) & ~covm.all(axis=(1, 3))
         for wc, name in order:
-            cand = (assigned == -1) & partial
+            cand = (assigned == -1) & partial & ~excl
             if not cand.any():
                 break
             ys, xs = np.nonzero(cand)
@@ -822,7 +832,7 @@ _FRAME_CACHE = {}
 
 def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                    fi: int = 0, nch_out=None, brighten=None,
-                   spread=None, pertap: bool = False):
+                   spread=None, pertap: bool = False, exclude=None):
     """Build the one-jit fused frame for a solo render: per-pass
     coordinates restricted to the pass's tile bounding box, compact
     per-tile kernel grids writing into one donated canvas, and a
@@ -849,7 +859,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     # from the caller's per-tap deflected validity (st["tap_mask"] in
     # frame() below) rather than the undeflected coverage
     passes, assigned = plan_passes(plan, src, window, classes, fi,
-                                   spread)
+                                   spread, exclude=exclude,
+                                   want_union=not pertap)
     geom = _geom_static(plan)
     nch_out = plan.nchannels if nch_out is None else nch_out
     brighten = src.static.brighten if brighten is None else brighten
@@ -1013,10 +1024,10 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
 
 def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                 fi: int = 0, nch_out=None, brighten=None,
-                spread=None, pertap: bool = False):
+                spread=None, pertap: bool = False, exclude=None):
     frame, state, assigned, passes, key = _frame_builder(
         plan, src, window, classes, fi, nch_out, brighten, spread,
-        pertap)
+        pertap, exclude=exclude)
     fn = _FRAME_CACHE.get(key)
     if fn is None:
         fn = _FRAME_CACHE[key] = jax.jit(frame)
@@ -1110,6 +1121,45 @@ def _patch_tiles_batch_twined(img, coeff, sx, sy, dux, duy, dvx, dvy,
     return img
 
 
+@functools.partial(jax.jit, static_argnames=("degree", "spread",
+                                             "nch_out", "brighten"))
+def _patch_tiles_batch_twined_pertap(img, coeff, sx, sy, dux, duy,
+                                     dvx, dvy, tap_masks, origins,
+                                     degree, spread, nch_out,
+                                     brighten):
+    """Per-tap-masked twined XLA patch: tap t contributes
+    ``w_t * where(mask_t, eval(deflected_t), 0)`` - the reference's
+    solo synopsis under twining (envutil_payload.cc:611-691), where
+    each tap is gated by its OWN deflected-ray validity. Used for the
+    facet-edge band tiles of a partial twined render, whose tap masks
+    genuinely differ across the spread. ``tap_masks`` is (K, H, W)
+    bool from _tap_mask_score per tap."""
+    def body(im, oyx):
+        oy, ox = oyx[0], oyx[1]
+        size = (PR.TILE_H, PR.TILE_W)
+        sl = lambda a: jax.lax.dynamic_slice(a, (oy, ox), size)
+        spl = S.Spline2D(coeff=coeff, pad=0, degree=degree,
+                         bcs=(S.CONSTANT, S.CONSTANT),
+                         core_shape=coeff.shape[:2])
+        acc = None
+        for ti, (cx, cy, wgt) in enumerate(spread):
+            v = S.eval_spline(
+                spl, sl(sx) + cx * sl(dux) + cy * sl(dvx),
+                sl(sy) + cx * sl(duy) + cy * sl(dvy),
+                apply_gate=False)
+            m = jax.lax.dynamic_slice(tap_masks, (ti, oy, ox),
+                                      (1,) + size)[0]
+            term = wgt * jnp.where(m[..., None], v, 0.0)
+            acc = term if acc is None else acc + term
+        tile = E.repix(acc, nch_out)
+        if brighten != 1.0:
+            tile = E.apply_brighten(tile, brighten)
+        return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
+
+    img, _ = jax.lax.scan(body, img, origins)
+    return img
+
+
 def _patch_tiles_batch_tap(img, coeff, sx, sy, dux, duy, dvx, dvy,
                            origins, degree, tap, nch_out, brighten):
     """Single-tap variant of _patch_tiles_batch_twined with a *traced*
@@ -1166,6 +1216,90 @@ def _basis_arg(plan, fi):
         return None
     return jnp.asarray(np.asarray(plan.bases[fi], np.float32))
 
+def _render_fast_solo_twined_partial(plan, src, window, out_h, out_w,
+                                     verbose: bool, classes
+                                     ) -> Optional[np.ndarray]:
+    """Twined render of a PARTIAL facet via core/band decomposition.
+
+    A partial facet's twined render weights each tap by the tap's own
+    deflected validity (solo synopsis, envutil_payload.cc:611-691), so
+    the fused kernel's shared-mask evaluation is only exact where ALL
+    taps are valid. A tap at spread offset (cx, cy) samples the
+    validity field at output position (x+cx, y+cy) (the ninepack
+    deflection is the first-order ray at that position), so eroding
+    the center mask by ceil(max|c|)+1 output pixels bounds the
+    all-taps-valid region:
+
+      * interior tiles (eroded mask everywhere): ONE fused twined
+        kernel pass serves all K taps (union-tap classes apply) -
+        this was previously K per-tap frames;
+      * band tiles (within the dilated mask but not interior): exact
+        per-tap XLA evaluation with per-tap deflected masks
+        (_patch_tiles_batch_twined_pertap);
+      * tiles beyond the dilated mask: zero.
+    """
+    from scipy import ndimage
+
+    y0, y1, x0, x1 = window
+    ph, pw = y1 - y0, x1 - x0
+    nty, ntx = ph // PR.TILE_H, pw // PR.TILE_W
+    geom = _geom_static(plan)
+    basis = _basis_arg(plan, 0)
+    bias = 1.0 / ST.DERIV_BIAS
+    spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
+                   for (cx, cy, w) in plan.spread)
+
+    c0 = _coords(geom, window, "orig", src, 0, (0.0, 0.0), basis)
+    mask_np = np.asarray(c0[2], bool)
+    rx = int(math.ceil(max(abs(c[0]) for c in plan.spread))) + 1
+    ry = int(math.ceil(max(abs(c[1]) for c in plan.spread))) + 1
+    size = (2 * ry + 1, 2 * rx + 1)
+    m8 = mask_np.astype(np.uint8)
+    core = ndimage.minimum_filter(m8, size=size, mode="constant",
+                                  cval=0).astype(bool)
+    reach = ndimage.maximum_filter(m8, size=size, mode="constant",
+                                   cval=0).astype(bool)
+    tview = lambda a: a.reshape(nty, PR.TILE_H, ntx, PR.TILE_W)
+    core_t = tview(core).all(axis=(1, 3))
+    band_t = tview(reach).any(axis=(1, 3)) & ~core_t
+
+    frame_fn, state, assigned, passes = fused_frame(
+        plan, src, window, classes, spread=spread, exclude=band_t)
+    n_fast = int((assigned >= 0).sum())
+    n_band = int(band_t.sum())
+    if verbose:
+        mix = ", ".join(f"{n}/{wc.name}:{(assigned == pi).sum()}"
+                        for pi, (n, wc, _b, _t, _m) in enumerate(passes))
+        print(f"fastpath(twined/partial): {n_fast}/{assigned.size} "
+              f"tiles fused ({mix}), {n_band} band tiles per-tap, "
+              f"{len(spread)} taps")
+    if n_fast == 0 and core_t.any():
+        return None  # interior entirely unfusable: use the XLA path
+    combined = frame_fn(state, jnp.float32(0))
+
+    bad = np.argwhere(assigned == -1)
+    if bad.size:
+        c10 = _coords(geom, window, "orig", src, 0,
+                      (ST.DERIV_BIAS, 0.0), basis)
+        c01 = _coords(geom, window, "orig", src, 0,
+                      (0.0, ST.DERIV_BIAS), basis)
+        sx, sy = c0[0], c0[1]
+        dux, dvx = _deriv(sx, c10[0], c01[0])
+        duy, dvy = _deriv(sy, c10[1], c01[1])
+        tap_masks = jnp.stack(
+            [_tap_mask_score(geom, window, src, 0,
+                             jnp.asarray([cx, cy], jnp.float32),
+                             basis)[0]
+             for (cx, cy, _w) in plan.spread])
+        combined = _patch_tiles_batch_twined_pertap(
+            combined, src.spl.coeff, sx, sy, dux, duy, dvx, dvy,
+            tap_masks, _bad_origins(bad), src.spl.degree, spread,
+            plan.nchannels, float(src.static.brighten))
+
+    img = np.array(jax.device_get(combined), np.float32)
+    return img[:out_h, :out_w]
+
+
 def render_fast_twined(plan, sources, verbose: bool = False,
                        classes=DEFAULT_CLASSES
                        ) -> Optional[np.ndarray]:
@@ -1192,11 +1326,12 @@ def render_fast_twined(plan, sources, verbose: bool = False,
         # a partial facet's twined render masks each tap with the
         # tap's own DEFLECTED validity (the reference's solo synopsis,
         # envutil_payload.cc:611-691); the center-tap mask the fused
-        # frame applies would mis-paint the facet-edge band. Route
-        # through the one-jit per-tap frame, which is exact there.
-        return _render_fast_multi_pertap(plan, sources, window,
-                                         out_h, out_w, verbose,
-                                         classes)
+        # frame applies would mis-paint the facet-edge band. Interior
+        # tiles (all taps provably valid) run ONE fused twined frame;
+        # the edge band is patched per tap with exact deflected masks.
+        return _render_fast_solo_twined_partial(plan, sources[0],
+                                                window, out_h, out_w,
+                                                verbose, classes)
 
     # spread with the 1/bias factor folded in (synopsis_t semantics)
     bias = 1.0 / ST.DERIV_BIAS
@@ -1296,7 +1431,7 @@ def render_fast(plan, sources, render_window_fn=None,
 
 
 def _eligible_multi(plan, sources) -> bool:
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not PR.FORCE_INTERPRET:
         return False
     for src in sources:
         if src.static.kind == "paint" or src.static.masked != -1:
@@ -1420,30 +1555,107 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
     from a traced (K, 3) spread array, so K x F frame/mask/patch
     dispatches (20-30 ms each through the remote device tunnel)
     collapse into a single dispatch, and the tap-invariant coordinate
-    passes for the XLA-patched tiles are hoisted out of the loop."""
+    passes for the XLA-patched tiles are hoisted out of the loop.
+
+    Champion-stability decomposition (voronoi synopses): the per-tap
+    loop is only *necessary* where the synopsis outcome can change
+    across the spread. A tap at offset (cx, cy) sees the champion
+    field at output position (x+cx, y+cy) (first-order ninepack
+    deflection), so a tile whose ceil(max|c|)+1-dilated neighbourhood
+    is championed by ONE facet with full validity yields, for every
+    tap, that facet's own twined sample - i.e. the facet's plain
+    fused twined frame (union-tap classes, K-independent gathers).
+    Such 'stable' tiles run once through their champion's solo twined
+    passes; only the seam/edge band pays the K-tap loop. The stable
+    analysis runs on center masks/scores (host); its erosion radius
+    covers the deflection reach exactly like the solo partial path."""
     y0, _y1, x0, _x1 = window
     ph = window[1] - y0
     pw = window[3] - x0
+    nty, ntx = ph // PR.TILE_H, pw // PR.TILE_W
     geom = _geom_static(plan)
     bias = 1.0 / ST.DERIV_BIAS
     spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
                    for (cx, cy, w) in plan.spread)
 
+    # --- champion stability (host): stable_of[t] = champion facet of
+    # tile t if the synopsis is tap-invariant there, else -1
+    stable_of = np.full((nty, ntx), -1, np.int32)
+    unstable_t = np.ones((nty, ntx), bool)
+    if plan.synopsis != "hdr_merge" and plan.nchannels in (1, 3) \
+            and len(spread) > 1 and len(sources) > 1:
+        from scipy import ndimage
+
+        masks_np, scores_np = [], []
+        for fi, src in enumerate(sources):
+            basis = _basis_arg(plan, fi)
+            _sx, _sy, m, z = _coords(geom, window, "orig", src, fi,
+                                     (0.0, 0.0), basis)
+            sc = jnp.where(m, z * src.static.recip_step,
+                           float(np.finfo(np.float32).min))
+            masks_np.append(np.asarray(m, bool))
+            scores_np.append(np.asarray(sc))
+        champ = np.stack(scores_np).argmax(axis=0)
+        valid_any = np.stack(masks_np).any(axis=0)
+        rx = int(math.ceil(max(abs(c[0]) for c in plan.spread))) + 1
+        ry = int(math.ceil(max(abs(c[1]) for c in plan.spread))) + 1
+        size = (2 * ry + 1, 2 * rx + 1)
+        tview = lambda a: a.reshape(nty, PR.TILE_H, ntx, PR.TILE_W)
+        reach_t = tview(ndimage.maximum_filter(
+            valid_any.astype(np.uint8), size=size, mode="constant",
+            cval=0).astype(bool)).any(axis=(1, 3))
+        for fi in range(len(sources)):
+            good = ((champ == fi) & valid_any).astype(np.uint8)
+            stf = ndimage.minimum_filter(good, size=size,
+                                         mode="constant",
+                                         cval=0).astype(bool)
+            stable_of[tview(stf).all(axis=(1, 3))] = fi
+        unstable_t = (stable_of < 0) & reach_t
+    stable_any_t = stable_of >= 0
+    decomposed = bool(stable_any_t.any())
+
+    # --- solo twined frames for the stable tiles (one per owning
+    # facet, union-tap classes; traced together with the tap loop)
+    stable_frames = []  # (fi, frame, assigned, bad_tuple, key)
+    stable_states = []
+    if decomposed:
+        for fi, src in enumerate(sources):
+            sel = stable_of == fi
+            if not sel.any():
+                continue
+            frame, st, assigned, passes, key = _frame_builder(
+                plan, src, window, classes, fi=fi, spread=spread,
+                exclude=~sel)
+            badf = tuple(map(tuple, np.argwhere(
+                (assigned == -1) & sel)))
+            if verbose:
+                print(f"fastpath(multi/pertap): facet {fi}: "
+                      f"{int(sel.sum())} stable tiles "
+                      f"({(assigned >= 0).sum()} fused, "
+                      f"{len(badf)} via XLA)")
+            stable_frames.append((fi, frame, badf, src.spl.degree,
+                                  float(src.static.brighten), key))
+            stable_states.append(st)
+
     per_facet = []
     states = []
     keys = []
+    part = []  # facet indices participating in the tap loop
     for fi, src in enumerate(sources):
         frame_fn, state, assigned, passes, key = _frame_builder(
             plan, src, window, classes, fi=fi, spread=spread,
-            pertap=True)
+            pertap=True, exclude=stable_any_t if decomposed else None)
         n_fast = int((assigned >= 0).sum())
         n_zero = int((assigned == ZERO_PASS).sum())
+        unf = int(((assigned == -1) & unstable_t).sum())
         if verbose:
             print(f"fastpath(multi/pertap): facet {fi}: {n_fast}/"
                   f"{assigned.size} tiles fused, {n_zero} empty")
-        if n_fast == 0 and n_zero < assigned.size:
+        if n_fast == 0 and unf > 0 and n_zero < assigned.size \
+                and not (stable_of == fi).any():
             return None  # one facet entirely unfusable: use XLA path
-        bad = tuple(map(tuple, np.argwhere(assigned == -1)))
+        bad = tuple(map(tuple, np.argwhere(
+            (assigned == -1) & unstable_t)))
         if verbose and bad:
             print(f"fastpath(multi/pertap): facet {fi}: "
                   f"{len(bad)} tiles via XLA fallback")
@@ -1451,17 +1663,18 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
                           float(src.static.brighten)))
         states.append(state)
         keys.append(key)
+        if n_fast > 0 or bad:
+            part.append(fi)
 
     statics = tuple(src.static for src in sources)
     n_taps = len(spread)
+    run_taps = bool(part) and bool(unstable_t.any()) or not decomposed
 
-    def combined(sts, sp):
-        # tap-invariant work hoisted out of the tap loop: undeflected
-        # coordinates + derivatives for the XLA-patched tiles
+    def combined(sts, ssts, sp, unstable_px):
         derivs = {}
-        for fi, (_f, _n, bad, _d, _b) in enumerate(per_facet):
-            if bad:
-                basis = sts[fi]["basis"]
+
+        def facet_derivs(fi, basis):
+            if fi not in derivs:
                 c0 = _coords(geom, window, "orig", sts[fi]["src"],
                              fi, (0.0, 0.0), basis)
                 c10 = _coords(geom, window, "orig", sts[fi]["src"],
@@ -1471,12 +1684,38 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
                 dux, dvx = _deriv(c0[0], c10[0], c01[0])
                 duy, dvy = _deriv(c0[1], c10[1], c01[1])
                 derivs[fi] = (c0[0], c0[1], dux, duy, dvx, dvy)
+            return derivs[fi]
+
+        # stable tiles: each champion facet's plain twined frame
+        out = jnp.zeros((ph, pw, plan.nchannels), jnp.float32)
+        for si, (fi, frame, badf, degree, brighten, _k) in \
+                enumerate(stable_frames):
+            img_f = frame(ssts[si], jnp.float32(0))
+            if badf:
+                sx0, sy0, dux, duy, dvx, dvy = facet_derivs(
+                    fi, sts[fi]["basis"])
+                img_f = _patch_tiles_batch_twined(
+                    img_f, sts[fi]["src"].spl.coeff, sx0, sy0, dux,
+                    duy, dvx, dvy, None,
+                    _bad_origins(np.asarray(badf)), degree, spread,
+                    plan.nchannels, brighten, use_mask=False)
+            out = out + img_f  # disjoint tile support
+
+        if not run_taps:
+            return out
+
+        # tap-invariant work hoisted out of the tap loop: undeflected
+        # coordinates + derivatives for the XLA-patched tiles
+        for fi in part:
+            if per_facet[fi][2]:
+                facet_derivs(fi, sts[fi]["basis"])
 
         def tap_body(k, acc):
             cx, cy, w = sp[k, 0], sp[k, 1], sp[k, 2]
             px_list, mask_list, score_list = [], [], []
-            for fi, (frame_fn, n_fast, bad, degree, brighten) in \
-                    enumerate(per_facet):
+            for fi in part:
+                frame_fn, n_fast, bad, degree, brighten = \
+                    per_facet[fi]
                 mask, score = _tap_mask_score(
                     geom, window, sts[fi]["src"], fi,
                     jnp.stack([cx * ST.DERIV_BIAS,
@@ -1503,20 +1742,30 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
                 px_list.append(img_f)
                 mask_list.append(mask)
                 score_list.append(score)
-            tap_img = _combine_stack(plan, sources, px_list,
-                                     mask_list, score_list)
+            tap_img = _combine_stack(plan,
+                                     [sources[fi] for fi in part],
+                                     px_list, mask_list, score_list)
             return acc + w * tap_img
 
         acc0 = jnp.zeros((ph, pw, plan.nchannels), jnp.float32)
-        return jax.lax.fori_loop(0, n_taps, tap_body, acc0)
+        acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
+        if not decomposed:
+            return acc
+        return out + jnp.where(unstable_px[..., None] > 0.5, acc, 0.0)
 
     mkey = (tuple(keys), plan.synopsis, plan.nchannels, n_taps,
             tuple(float(s.recip_step) for s in statics),
-            tuple(pf[1:] for pf in per_facet))
+            tuple(pf[1:] for pf in per_facet), tuple(part),
+            tuple(sf[0] for sf in stable_frames),
+            tuple(sf[2:] for sf in stable_frames), decomposed,
+            run_taps)
     fn = _PERTAP_CACHE.get(mkey)
     if fn is None:
         fn = _PERTAP_CACHE[mkey] = jax.jit(combined)
     spread_arr = jnp.asarray(np.asarray(spread, np.float32))
-    acc = fn(tuple(states), spread_arr)
+    unstable_px = jnp.asarray(np.repeat(np.repeat(
+        unstable_t.astype(np.float32), PR.TILE_H, 0), PR.TILE_W, 1))
+    acc = fn(tuple(states), tuple(stable_states), spread_arr,
+             unstable_px)
     img = np.array(jax.device_get(acc), np.float32)
     return img[:out_h, :out_w]

@@ -1,11 +1,23 @@
 """TPU correctness check: fused fast path (SMEM origins + dbuf) and
 per-tap twined multi-facet path vs the exact XLA graph, on small
-frames. Development tool."""
+frames. Development tool.
+
+ENVUTIL_PLATFORM=cpu ENVUTIL_INTERPRET=1 runs the same checks on the
+CPU backend with the kernels in Pallas interpreter mode (no TPU / no
+axon tunnel needed; slow - use while hardware is unavailable)."""
 
 import math
+import os
 import sys
 
 import numpy as np
+
+if os.environ.get("ENVUTIL_PLATFORM"):
+    # must precede backend initialization (the axon site force-sets
+    # jax_platforms at import; the JAX_PLATFORMS env var is ignored)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["ENVUTIL_PLATFORM"])
 
 
 def psnr(a, b):
