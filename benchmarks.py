@@ -349,6 +349,44 @@ def main():
         del srcs6, states6
 
 
+    def cfg_5d():
+        # ---- config 5d: 6-facet voronoi stitch + 4-tap twining -----------
+        # the champion-stability decomposition's target: stable tiles
+        # run once through their champion's union-tap twined frame;
+        # only the seam/edge band pays the K-tap x F-facet loop
+        facets6, srcs6 = [], []
+        for i in range(6):
+            f = Facet(facet_no=i, nchannels=3)
+            f.set_geometry(Projection.RECTILINEAR, 1536, 1152,
+                           math.radians(72))
+            f.step = get_step(Projection.RECTILINEAR, 1536, 1152,
+                              math.radians(72))
+            f.yaw = math.radians(60.0 * i)
+            f.process_geometry()
+            facets6.append(f)
+            img6 = np.random.rand(1152, 1536, 3).astype(np.float32)
+            srcs6.append(jax.device_put(
+                E.make_mount_source(f, img6, 3, 3)))
+        args5d, plan5d = make_plan(facets6[0], Projection.SPHERICAL,
+                                   4096, 2048, 360, 3, facets=facets6,
+                                   solo=-1, twine=1)
+        got = FP.fused_pertap_frame(plan5d, srcs6, (0, 2048, 0, 4096),
+                                    verbose=True)
+        if got is None:
+            _report("6-facet voronoi + 4-tap twine (pertap declined)",
+                    0.0)
+            return
+        fn, fargs = got
+        sts, ssts, sp, up = fargs
+        wrapped = lambda s, ss, spv, upv, eps: fn(s, ss, spv + eps,
+                                                  upv)
+        mpix = _timeit_frame(wrapped, (sts, ssts, sp, up),
+                             4096 * 2048)
+        _report("6-facet voronoi stitch + 4-tap twine -> 4096x2048 "
+                "deg-3 (champion-stable one-jit)", mpix)
+        del srcs6, sts, ssts
+
+
     def cfg_5c():
         # ---- config 5c: 3-bracket HDR merge -----------------------------
         facets_h, srcs_h = [], []
@@ -377,7 +415,7 @@ def main():
 
 
     only = [a for a in sys.argv[1:] if not a.startswith('-')]
-    configs = [('4b', cfg_4b), ('4c', cfg_4c), ('1', cfg_1), ('3', cfg_3), ('4', cfg_4), ('5', cfg_5), ('2r', cfg_2r), ('3b', cfg_3b), ('5b', cfg_5b), ('5c', cfg_5c)]
+    configs = [('4b', cfg_4b), ('4c', cfg_4c), ('1', cfg_1), ('3', cfg_3), ('4', cfg_4), ('5', cfg_5), ('2r', cfg_2r), ('3b', cfg_3b), ('5b', cfg_5b), ('5d', cfg_5d), ('5c', cfg_5c)]
     for tag, fn in configs:
         if not only or tag in only:
             fn()

@@ -1147,14 +1147,15 @@ def _patch_tiles_batch_twined_pertap(img, coeff, sx, sy, dux, duy,
                 spl, sl(sx) + cx * sl(dux) + cy * sl(dvx),
                 sl(sy) + cx * sl(duy) + cy * sl(dvy),
                 apply_gate=False)
-            m = jax.lax.dynamic_slice(tap_masks, (ti, oy, ox),
-                                      (1,) + size)[0]
+            m = jax.lax.dynamic_slice(tap_masks[ti], (oy, ox), size)
             term = wgt * jnp.where(m[..., None], v, 0.0)
             acc = term if acc is None else acc + term
         tile = E.repix(acc, nch_out)
         if brighten != 1.0:
             tile = E.apply_brighten(tile, brighten)
-        return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
+        zero = jnp.zeros((), oy.dtype)
+        return jax.lax.dynamic_update_slice(im, tile,
+                                            (oy, ox, zero)), 0
 
     img, _ = jax.lax.scan(body, img, origins)
     return img
@@ -1534,9 +1535,8 @@ def render_fast_multi(plan, sources, verbose: bool = False,
     return img[:out_h, :out_w]
 
 
-def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
-                              verbose: bool, classes
-                              ) -> Optional[np.ndarray]:
+def fused_pertap_frame(plan, sources, window, verbose: bool = False,
+                       classes=DEFAULT_CLASSES):
     """Twined multi-facet fused render with exact per-tap synopsis
     semantics: for every twining tap, each facet renders one
     deflected single-tap frame through the kernel (classified once
@@ -1568,7 +1568,11 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
     Such 'stable' tiles run once through their champion's solo twined
     passes; only the seam/edge band pays the K-tap loop. The stable
     analysis runs on center masks/scores (host); its erosion radius
-    covers the deflection reach exactly like the solo partial path."""
+    covers the deflection reach exactly like the solo partial path.
+
+    Returns ``(fn, args)`` with ``fn(*args)`` the one-jit padded-frame
+    program, or None when a facet is entirely unfusable (callers fall
+    back to the XLA graph path)."""
     y0, _y1, x0, _x1 = window
     ph = window[1] - y0
     pw = window[3] - x0
@@ -1765,7 +1769,17 @@ def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
     spread_arr = jnp.asarray(np.asarray(spread, np.float32))
     unstable_px = jnp.asarray(np.repeat(np.repeat(
         unstable_t.astype(np.float32), PR.TILE_H, 0), PR.TILE_W, 1))
-    acc = fn(tuple(states), tuple(stable_states), spread_arr,
-             unstable_px)
+    return fn, (tuple(states), tuple(stable_states), spread_arr,
+                unstable_px)
+
+
+def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,
+                              verbose: bool, classes
+                              ) -> Optional[np.ndarray]:
+    got = fused_pertap_frame(plan, sources, window, verbose, classes)
+    if got is None:
+        return None
+    fn, args = got
+    acc = fn(*args)
     img = np.array(jax.device_get(acc), np.float32)
     return img[:out_h, :out_w]

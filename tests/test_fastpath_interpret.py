@@ -97,18 +97,27 @@ def test_solo_partial_twined_core_band():
     assert p > 55.0, f"solo partial twined: only {p:.1f} dB"
 
 
-def test_multi_twined_champion_stable():
+def test_multi_twined_champion_stable(capsys):
     """Two-facet twined stitch: champion-stable tiles through each
     facet's solo twined frame, the seam band through the per-tap
-    loop - must match the exact XLA per-tap synopsis."""
+    loop - must match the exact XLA per-tap synopsis.
+
+    Yaws -10/+40 put the voronoi seam at +15 deg ~ output column 338,
+    >128 px from both the frame border and tile column 1, so facet 0
+    owns champion-stable tiles (at a centered seam every 128px tile
+    touches the seam or the frame border and the decomposition
+    correctly declines)."""
     from envutil_tpu.runtime import fastpath
     from envutil_tpu.runtime.render import _compiled_window
 
-    fct0, src0 = _mk_partial_facet(-15.0, 2)
-    fct1, src1 = _mk_partial_facet(15.0, 3)
+    fct0, src0 = _mk_partial_facet(-10.0, 2)
+    fct1, src1 = _mk_partial_facet(40.0, 3)
     plan = _mk_plan([fct0, fct1], 1, -1)
     fused = fastpath.render_fast(plan, [src0, src1], verbose=True)
     assert fused is not None, "fused path declined"
+    out = capsys.readouterr().out
+    assert "stable tiles" in out, \
+        f"champion-stable decomposition did not engage:\n{out}"
     xla = np.asarray(
         _compiled_window(plan, (0, 512, 0, 512))([src0, src1]))
     p = psnr(fused, xla)
