@@ -282,6 +282,54 @@ def _tap_mask_score(plan, window, src, fi, bias, basis):
     return mask, score
 
 
+@functools.partial(jax.jit, static_argnames=("geom", "window",
+                                              "size"))
+def _stability_tiles(geom, window, srcs, bases, size):
+    """Per-tile champion stability for the twined multi-facet path:
+    a tile is 'stable for facet f' when, over the tile dilated by the
+    tap deflection reach (``size`` = (2*ry+1, 2*rx+1)), facet f
+    champions every pixel with full validity - there every twining
+    tap sees the same synopsis outcome, so the tile reduces to f's
+    solo twined frame. Returns ``(stable (F, nty, ntx), reach_any
+    (nty, ntx))`` bools; out-of-window neighbourhoods count as
+    unstable (zero padding), keeping frame-border tiles in the exact
+    per-tap band."""
+    ky, kx = size
+    ry, rx = ky // 2, kx // 2
+    masks, scores = [], []
+    for fi in range(len(srcs)):
+        _sx, _sy, m, z = _coords(geom, window, "orig", srcs[fi], fi,
+                                 (0.0, 0.0), bases[fi])
+        masks.append(m)
+        scores.append(jnp.where(
+            m, z * srcs[fi].static.recip_step,
+            float(np.finfo(np.float32).min)))
+    champ = jnp.argmax(jnp.stack(scores), axis=0)
+    valid_any = jnp.stack(masks).any(axis=0)
+
+    def _window_reduce(a, op, init):
+        a = jnp.pad(a, ((ry, ry), (rx, rx)),
+                    constant_values=jnp.float32(0.0))
+        return jax.lax.reduce_window(a, init, op, (ky, kx), (1, 1),
+                                     "VALID")
+
+    def _tiles(a, op):
+        h, w = a.shape
+        t = a.reshape(h // PR.TILE_H, PR.TILE_H,
+                      w // PR.TILE_W, PR.TILE_W)
+        return op(op(t, axis=3), axis=1)
+
+    reach = _window_reduce(valid_any.astype(jnp.float32),
+                           jax.lax.max, jnp.float32(0.0))
+    reach_t = _tiles(reach, jnp.max) > 0.5
+    stable = []
+    for fi in range(len(srcs)):
+        good = ((champ == fi) & valid_any).astype(jnp.float32)
+        core = _window_reduce(good, jax.lax.min, jnp.float32(1.0))
+        stable.append(_tiles(core, jnp.min) > 0.5)
+    return jnp.stack(stable), reach_t
+
+
 @functools.partial(jax.jit, static_argnames=("nch_out", "brighten"))
 def _finish(px_planar, mask, nch_out, brighten):
     px = jnp.moveaxis(px_planar, 0, -1)
@@ -1582,38 +1630,25 @@ def fused_pertap_frame(plan, sources, window, verbose: bool = False,
     spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
                    for (cx, cy, w) in plan.spread)
 
-    # --- champion stability (host): stable_of[t] = champion facet of
-    # tile t if the synopsis is tap-invariant there, else -1
+    # --- champion stability: stable_of[t] = champion facet of tile t
+    # if the synopsis is tap-invariant there, else -1. The per-pixel
+    # erosion/dilation and the tile reduction run on device (one
+    # dispatch, (F+1, nty, ntx) bools fetched) - full mask/score
+    # planes never cross the tunnel.
     stable_of = np.full((nty, ntx), -1, np.int32)
     unstable_t = np.ones((nty, ntx), bool)
     if plan.synopsis != "hdr_merge" and plan.nchannels in (1, 3) \
             and len(spread) > 1 and len(sources) > 1:
-        from scipy import ndimage
-
-        masks_np, scores_np = [], []
-        for fi, src in enumerate(sources):
-            basis = _basis_arg(plan, fi)
-            _sx, _sy, m, z = _coords(geom, window, "orig", src, fi,
-                                     (0.0, 0.0), basis)
-            sc = jnp.where(m, z * src.static.recip_step,
-                           float(np.finfo(np.float32).min))
-            masks_np.append(np.asarray(m, bool))
-            scores_np.append(np.asarray(sc))
-        champ = np.stack(scores_np).argmax(axis=0)
-        valid_any = np.stack(masks_np).any(axis=0)
         rx = int(math.ceil(max(abs(c[0]) for c in plan.spread))) + 1
         ry = int(math.ceil(max(abs(c[1]) for c in plan.spread))) + 1
-        size = (2 * ry + 1, 2 * rx + 1)
-        tview = lambda a: a.reshape(nty, PR.TILE_H, ntx, PR.TILE_W)
-        reach_t = tview(ndimage.maximum_filter(
-            valid_any.astype(np.uint8), size=size, mode="constant",
-            cval=0).astype(bool)).any(axis=(1, 3))
+        stable_f, reach_t = _stability_tiles(
+            geom, window, tuple(sources),
+            tuple(_basis_arg(plan, fi) for fi in range(len(sources))),
+            (2 * ry + 1, 2 * rx + 1))
+        stable_f = np.asarray(stable_f, bool)
+        reach_t = np.asarray(reach_t, bool)
         for fi in range(len(sources)):
-            good = ((champ == fi) & valid_any).astype(np.uint8)
-            stf = ndimage.minimum_filter(good, size=size,
-                                         mode="constant",
-                                         cval=0).astype(bool)
-            stable_of[tview(stf).all(axis=(1, 3))] = fi
+            stable_of[stable_f[fi]] = fi
         unstable_t = (stable_of < 0) & reach_t
     stable_any_t = stable_of >= 0
     decomposed = bool(stable_any_t.any())
