@@ -17,10 +17,13 @@ matrix/primaries-based configs:
 - ``ColorSpaceTransform`` (src -> dst through the reference)
 - ``BuiltinTransform`` for the common named styles, resolved through
   the built-in spaces of io/colour.py where a mapping is known
+- ``FileTransform`` LUT files: .cube (1D and 3D), .spi1d, .spi3d -
+  resolved against the config's ``search_path``; 1D inverse via the
+  monotone table, 3D forward-only (trilinear)
 
-``FileTransform`` (LUT files) and ``LogCameraTransform`` raise a
-specific error naming the colour space, so the failure mode is loud
-and actionable rather than a silent fallback.
+Unsupported kinds (e.g. ``LogCameraTransform``) raise a specific
+error naming the colour space, so the failure mode is loud and
+actionable rather than a silent fallback.
 
 Conversion model (OCIO v1 and v2 dialects): every colour space
 declares ``to_reference``/``from_reference`` (v1) or
@@ -159,11 +162,166 @@ _BUILTIN_STYLES = {
 }
 
 
+def _read_lut_file(path: str):
+    """Parse a LUT file into ``("1d", domain, (N, C) table)`` or
+    ``("3d", domain, (N, N, N, 3) table)``. Supports .cube
+    (LUT_1D_SIZE / LUT_3D_SIZE, DOMAIN_MIN/MAX; red fastest),
+    .spi1d (From/Length/Components) and .spi3d (SPILUT; explicit
+    i j k indices)."""
+    ext = os.path.splitext(path)[1].lower()
+    with open(path) as f:
+        lines = [ln.strip() for ln in f.readlines()]
+    lines = [ln for ln in lines if ln and not ln.startswith("#")]
+    if ext == ".cube":
+        n1 = n3 = 0
+        dmin = np.zeros(3, np.float32)
+        dmax = np.ones(3, np.float32)
+        rows = []
+        for ln in lines:
+            u = ln.split()
+            key = u[0].upper()
+            if key == "LUT_1D_SIZE":
+                n1 = int(u[1])
+            elif key == "LUT_3D_SIZE":
+                n3 = int(u[1])
+            elif key == "DOMAIN_MIN":
+                dmin = np.asarray([float(v) for v in u[1:4]],
+                                  np.float32)
+            elif key == "DOMAIN_MAX":
+                dmax = np.asarray([float(v) for v in u[1:4]],
+                                  np.float32)
+            elif key in ("TITLE", "LUT_1D_INPUT_RANGE",
+                         "LUT_3D_INPUT_RANGE"):
+                if key.endswith("INPUT_RANGE"):
+                    dmin = np.full(3, float(u[1]), np.float32)
+                    dmax = np.full(3, float(u[2]), np.float32)
+            else:
+                rows.append([float(v) for v in u[:3]])
+        tbl = np.asarray(rows, np.float32)
+        if n3:
+            if tbl.shape[0] != n3 ** 3:
+                raise OcioError(f"{path}: expected {n3 ** 3} rows")
+            # .cube stores red fastest: index order (b, g, r)
+            return ("3d", (dmin, dmax),
+                    tbl.reshape(n3, n3, n3, 3))
+        if not n1:
+            raise OcioError(f"{path}: no LUT_1D_SIZE/LUT_3D_SIZE")
+        if tbl.shape[0] != n1:
+            raise OcioError(f"{path}: expected {n1} rows")
+        return ("1d", (dmin, dmax), tbl)
+    if ext == ".spi1d":
+        dmin = np.zeros(3, np.float32)
+        dmax = np.ones(3, np.float32)
+        rows = []
+        in_body = False
+        for ln in lines:
+            low = ln.lower()
+            if low.startswith("from:"):
+                a, b = ln.split()[1:3]
+                dmin = np.full(3, float(a), np.float32)
+                dmax = np.full(3, float(b), np.float32)
+            elif ln == "{":
+                in_body = True
+            elif ln == "}":
+                in_body = False
+            elif in_body:
+                rows.append([float(v) for v in ln.split()])
+        tbl = np.asarray(rows, np.float32)
+        return ("1d", (dmin, dmax), tbl)
+    if ext == ".spi3d":
+        dims = None
+        entries = []
+        for ln in lines[1:]:  # skip "SPILUT 1.0"
+            u = ln.split()
+            if len(u) == 2:
+                continue  # "3 3" components line
+            if len(u) == 3 and dims is None:
+                dims = (int(u[0]), int(u[1]), int(u[2]))
+                continue
+            if len(u) >= 6:
+                entries.append([float(v) for v in u[:6]])
+        if dims is None:
+            raise OcioError(f"{path}: no dimensions line")
+        tbl = np.zeros(dims + (3,), np.float32)
+        for i, j, k, r, g, b in entries:
+            tbl[int(i), int(j), int(k)] = (r, g, b)
+        dmin = np.zeros(3, np.float32)
+        dmax = np.ones(3, np.float32)
+        # spi3d stores blue fastest with (r, g, b) indices: transpose
+        # to the .cube convention (b, g, r) used by _lut3d_fn
+        return ("3d", (dmin, dmax), tbl.transpose(2, 1, 0, 3))
+    raise OcioError(f"{path}: unsupported LUT format {ext!r}")
+
+
+def _lut1d_fn(domain, tbl: np.ndarray, invert: bool) -> _F:
+    dmin, dmax = domain
+    n, c = tbl.shape
+
+    def fwd(a):
+        out = np.empty_like(a, np.float32)
+        for ch in range(a.shape[-1] if a.ndim else 1):
+            col = tbl[:, min(ch, c - 1)]
+            x = np.linspace(dmin[min(ch, 2)], dmax[min(ch, 2)], n)
+            out[..., ch] = np.interp(a[..., ch], x, col)
+        return out
+
+    def inv(a):
+        out = np.empty_like(a, np.float32)
+        for ch in range(a.shape[-1] if a.ndim else 1):
+            col = tbl[:, min(ch, c - 1)]
+            x = np.linspace(dmin[min(ch, 2)], dmax[min(ch, 2)], n)
+            if not (np.all(np.diff(col) >= 0)):
+                raise OcioError("inverse Lut1D needs a monotonically "
+                                "increasing table")
+            out[..., ch] = np.interp(a[..., ch], col, x)
+        return out
+
+    return inv if invert else fwd
+
+
+def _lut3d_fn(domain, tbl: np.ndarray, invert: bool) -> _F:
+    if invert:
+        raise OcioError("inverse Lut3D is not supported by the "
+                        "built-in OCIO subset")
+    dmin, dmax = domain
+    n = tbl.shape[0]
+
+    def f(a):
+        rgb = np.asarray(a, np.float32)
+        t = (rgb - dmin) / np.maximum(dmax - dmin, 1e-20) * (n - 1)
+        t = np.clip(t, 0.0, n - 1)
+        i0 = np.minimum(t.astype(np.int32), n - 2)
+        fr = t - i0
+        r0, g0, b0 = i0[..., 0], i0[..., 1], i0[..., 2]
+        fr_r = fr[..., 0:1]
+        fr_g = fr[..., 1:2]
+        fr_b = fr[..., 2:3]
+        # table index order (b, g, r): trilinear blend
+        out = np.zeros(rgb.shape, np.float32)
+        for db in (0, 1):
+            for dg in (0, 1):
+                for dr in (0, 1):
+                    w = ((fr_b if db else 1.0 - fr_b)
+                         * (fr_g if dg else 1.0 - fr_g)
+                         * (fr_r if dr else 1.0 - fr_r))
+                    out += w * tbl[b0 + db, g0 + dg, r0 + dr]
+        return out
+
+    return f
+
+
 class OcioConfig:
     """Parsed subset of an OCIO YAML config."""
 
     def __init__(self, doc: dict, path: str = "<config>"):
         self.path = path
+        base = os.path.dirname(os.path.abspath(path))
+        sp = doc.get("search_path") or "."
+        if isinstance(sp, str):
+            sp = sp.split(":")
+        self.search_dirs = [os.path.join(base, str(p)) for p in sp]
+        self.search_dirs.append(base)
+        self._luts: Dict[str, tuple] = {}
         self.roles: Dict[str, str] = {
             str(k).lower(): str(v)
             for k, v in (doc.get("roles") or {}).items()}
@@ -237,6 +395,22 @@ class OcioConfig:
             if inv:
                 src, dst = dst, src
             return lambda a: self.apply(a, src, dst)
+        if kind == "FileTransform":
+            fname = str(body.get("src", ""))
+            lut = self._luts.get(fname)
+            if lut is None:
+                for d in self.search_dirs:
+                    cand = os.path.join(d, fname)
+                    if os.path.exists(cand):
+                        lut = self._luts[fname] = _read_lut_file(cand)
+                        break
+                else:
+                    raise OcioError(f"{name}: LUT file {fname!r} not "
+                                    f"found under {self.search_dirs}")
+            kind_l, domain, tbl = lut
+            if kind_l == "1d":
+                return _lut1d_fn(domain, tbl, inv)
+            return _lut3d_fn(domain, tbl, inv)
         if kind == "BuiltinTransform":
             style = str(body.get("style", "")).upper()
             builtin = _BUILTIN_STYLES.get(style)
@@ -250,8 +424,7 @@ class OcioConfig:
             return lambda a: imgio.srgb_to_linear(a)
         raise OcioError(
             f"{name}: transform {kind!r} is not supported by the "
-            "built-in OCIO subset (FileTransform LUTs need "
-            "PyOpenColorIO)")
+            "built-in OCIO subset")
 
     def to_reference(self, name: str) -> _F:
         cs = self.spaces[name]

@@ -147,3 +147,71 @@ def test_ocio_subset_config(tmp_path, monkeypatch):
     out = imgio.convert_colour(v, "sRGB", "scene_linear")
     np.testing.assert_allclose(out, imgio.srgb_to_linear(v),
                                atol=2e-5)
+
+
+def test_ocio_file_transform_luts(tmp_path, monkeypatch):
+    """FileTransform LUTs: .cube 1D (forward + monotone inverse),
+    .cube 3D (trilinear), .spi1d, resolved via search_path."""
+    import textwrap
+
+    import numpy as np
+
+    from envutil_tpu.io import imgio, ocio
+
+    luts = tmp_path / "luts"
+    luts.mkdir()
+    # 1D gamma-ish LUT: y = x^2 over [0, 1], 65 knots
+    n = 65
+    x = np.linspace(0, 1, n)
+    (luts / "sq.cube").write_text(
+        "LUT_1D_SIZE 65\n"
+        + "".join(f"{v:.8f} {v:.8f} {v:.8f}\n" for v in x ** 2))
+    # 3D LUT: channel-wise scale (r*0.5, g*0.25, b*1.0), 9^3 lattice
+    m = 9
+    g = np.linspace(0, 1, m)
+    rows = []
+    for b in g:
+        for gg in g:
+            for r in g:  # red fastest
+                rows.append(f"{r * 0.5:.8f} {gg * 0.25:.8f} {b:.8f}\n")
+    (luts / "scale.cube").write_text(f"LUT_3D_SIZE {m}\n" + "".join(rows))
+    # spi1d: y = 2x over [0, 2]
+    (luts / "dbl.spi1d").write_text(
+        "Version 1\nFrom: 0.0 2.0\nLength: 3\nComponents: 1\n"
+        "{\n0.0\n2.0\n4.0\n}\n")
+
+    cfg = tmp_path / "test.ocio"
+    cfg.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        search_path: luts
+        roles:
+          scene_linear: lin
+        colorspaces:
+          - name: lin
+          - name: squared
+            to_scene_reference: !<FileTransform> {src: sq.cube}
+          - name: scaled
+            from_scene_reference: !<FileTransform> {src: scale.cube, interpolation: tetrahedral}
+          - name: doubled
+            from_scene_reference: !<FileTransform> {src: dbl.spi1d}
+        """))
+    monkeypatch.setenv("OCIO", str(cfg))
+    ocio._CACHE.clear()
+
+    v = np.linspace(0.05, 0.9, 24, dtype=np.float32).reshape(-1, 1, 3)
+
+    # 1D forward: squared -> lin applies x^2 (exact at this density)
+    out = imgio.convert_colour(v, "squared", "scene_linear")
+    np.testing.assert_allclose(out, v ** 2, atol=2e-4)
+    # 1D inverse (monotone): lin -> squared applies sqrt
+    back = imgio.convert_colour(out, "lin", "squared")
+    np.testing.assert_allclose(back, v, atol=2e-4)
+
+    # 3D trilinear: lin -> scaled is exact for a linear lattice
+    out = imgio.convert_colour(v, "lin", "scaled")
+    np.testing.assert_allclose(
+        out, v * np.asarray([0.5, 0.25, 1.0], np.float32), atol=1e-5)
+
+    # spi1d with a [0, 2] domain
+    out = imgio.convert_colour(v, "lin", "doubled")
+    np.testing.assert_allclose(out, v * 2.0, atol=1e-5)
