@@ -12,7 +12,10 @@ matrix/primaries-based configs:
 - ``ExponentTransform``
 - ``ExponentWithLinearTransform`` (the sRGB-style piecewise curve)
 - ``RangeTransform`` (scale + offset form)
-- ``CDLTransform`` (slope / offset / power; saturation unsupported)
+- ``CDLTransform`` (slope / offset / power / saturation)
+- ``LogTransform`` / ``LogAffineTransform`` / ``LogCameraTransform``
+  (the camera-log family: lin-side affine + log-side affine, with the
+  linear segment below linSideBreak)
 - ``GroupTransform`` (children applied in order)
 - ``ColorSpaceTransform`` (src -> dst through the reference)
 - ``BuiltinTransform`` for the common named styles, resolved through
@@ -21,9 +24,9 @@ matrix/primaries-based configs:
   resolved against the config's ``search_path``; 1D inverse via the
   monotone table, 3D forward-only (trilinear)
 
-Unsupported kinds (e.g. ``LogCameraTransform``) raise a specific
-error naming the colour space, so the failure mode is loud and
-actionable rather than a silent fallback.
+Unsupported kinds raise a specific error naming the colour space, so
+the failure mode is loud and actionable rather than a silent
+fallback.
 
 Conversion model (OCIO v1 and v2 dialects): every colour space
 declares ``to_reference``/``from_reference`` (v1) or
@@ -34,6 +37,7 @@ resolved to canonical names.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Callable, Dict, List, Optional
 
@@ -135,21 +139,102 @@ def _range_fn(spec: dict, invert: bool) -> _F:
     return f
 
 
+_CDL_LUMA = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+
+
+def _saturate(a: np.ndarray, sat: float) -> np.ndarray:
+    luma = (a[..., :3] * _CDL_LUMA).sum(axis=-1, keepdims=True)
+    return (luma + sat * (a - luma)).astype(np.float32)
+
+
 def _cdl_fn(spec: dict, invert: bool) -> _F:
     sl = np.asarray(spec.get("slope", [1, 1, 1]), np.float32)
     of = np.asarray(spec.get("offset", [0, 0, 0]), np.float32)
     pw = np.asarray(spec.get("power", [1, 1, 1]), np.float32)
-    if float(spec.get("sat", spec.get("saturation", 1.0))) != 1.0:
-        raise OcioError("CDL saturation is not supported")
+    sat = float(spec.get("sat", spec.get("saturation", 1.0)))
     if invert:
         def f(a):
+            # ASC CDL inverse: un-saturate (Rec709 luma weights per
+            # the CDL spec), then invert power / offset / slope
+            if sat != 1.0:
+                a = _saturate(a, 1.0 / sat)
             return ((np.clip(a, 0, None) ** (1.0 / pw) - of)
                     / sl).astype(np.float32)
         return f
 
     def f(a):
-        return (np.clip(a * sl + of, 0, None) ** pw).astype(np.float32)
+        out = (np.clip(a * sl + of, 0, None) ** pw).astype(np.float32)
+        return _saturate(out, sat) if sat != 1.0 else out
     return f
+
+
+def _log_affine_params(spec: dict):
+    base = float(spec.get("base", 2.0))
+    ls = np.asarray(spec.get("log_side_slope",
+                             spec.get("logSideSlope", [1, 1, 1])),
+                    np.float32)[:3]
+    lo = np.asarray(spec.get("log_side_offset",
+                             spec.get("logSideOffset", [0, 0, 0])),
+                    np.float32)[:3]
+    ns = np.asarray(spec.get("lin_side_slope",
+                             spec.get("linSideSlope", [1, 1, 1])),
+                    np.float32)[:3]
+    no = np.asarray(spec.get("lin_side_offset",
+                             spec.get("linSideOffset", [0, 0, 0])),
+                    np.float32)[:3]
+    return base, ls, lo, ns, no
+
+
+def _log_affine_fn(spec: dict, invert: bool) -> _F:
+    """LogAffineTransform: log = logSideSlope * log_base(linSideSlope
+    * lin + linSideOffset) + logSideOffset (OCIO v2)."""
+    base, ls, lo, ns, no = _log_affine_params(spec)
+    lb = math.log(base)
+
+    def lin_to_log(a):
+        lin = np.maximum(a * ns + no, 1e-10)
+        return (ls * (np.log(lin) / lb) + lo).astype(np.float32)
+
+    def log_to_lin(a):
+        return ((base ** ((a - lo) / ls) - no) / ns).astype(np.float32)
+
+    # to_reference direction of a log space is log->lin ("forward"
+    # per OCIO applies lin->log)
+    return log_to_lin if invert else lin_to_log
+
+
+def _log_camera_fn(spec: dict, invert: bool) -> _F:
+    """LogCameraTransform: LogAffine plus a linear segment below
+    linSideBreak with slope/intercept continuous at the break (the
+    camera-log family: LogC, S-Log, etc., OCIO v2)."""
+    base, ls, lo, ns, no = _log_affine_params(spec)
+    lb = math.log(base)
+    br = np.asarray(spec.get("lin_side_break",
+                             spec.get("linSideBreak", [0, 0, 0])),
+                    np.float32)[:3]
+    # log value and derivative at the break
+    log_br = ls * (np.log(np.maximum(ns * br + no, 1e-10)) / lb) + lo
+    lslope = spec.get("linear_slope", spec.get("linearSlope"))
+    if lslope is None:
+        # continuous derivative at the break
+        lin_slope = ls * ns / ((ns * br + no) * lb)
+    else:
+        lin_slope = np.asarray(lslope, np.float32)[:3] * np.ones(
+            3, np.float32)
+    lin_off = log_br - lin_slope * br
+
+    def lin_to_log(a):
+        lin = np.maximum(a * ns + no, 1e-10)
+        logv = ls * (np.log(lin) / lb) + lo
+        return np.where(a <= br, lin_slope * a + lin_off,
+                        logv).astype(np.float32)
+
+    def log_to_lin(a):
+        lin = (base ** ((a - lo) / ls) - no) / ns
+        seg = (a - lin_off) / lin_slope
+        return np.where(a <= log_br, seg, lin).astype(np.float32)
+
+    return log_to_lin if invert else lin_to_log
 
 
 # BuiltinTransform styles -> (decode-to-linear-rec709-ish handled via
@@ -386,6 +471,13 @@ class OcioConfig:
             return _range_fn(body, inv)
         if kind == "CDLTransform":
             return _cdl_fn(body, inv)
+        if kind == "LogAffineTransform":
+            return _log_affine_fn(body, inv)
+        if kind == "LogCameraTransform":
+            return _log_camera_fn(body, inv)
+        if kind == "LogTransform":
+            base = float(body.get("base", 2.0))
+            return _log_affine_fn({"base": base}, inv)
         if kind == "ColorSpaceTransform":
             src = self.resolve(str(body.get("src", "")))
             dst = self.resolve(str(body.get("dst", "")))

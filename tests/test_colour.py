@@ -215,3 +215,73 @@ def test_ocio_file_transform_luts(tmp_path, monkeypatch):
     # spi1d with a [0, 2] domain
     out = imgio.convert_colour(v, "lin", "doubled")
     np.testing.assert_allclose(out, v * 2.0, atol=1e-5)
+
+
+def test_ocio_log_and_cdl_sat(tmp_path, monkeypatch):
+    """LogCameraTransform (ARRI LogC3 parameterization),
+    LogAffineTransform round trip, CDL saturation."""
+    import textwrap
+
+    import numpy as np
+
+    from envutil_tpu.io import imgio, ocio
+
+    # ARRI LogC3 EI800 as an OCIO v2 LogCameraTransform (the standard
+    # published parameterization)
+    cfg = tmp_path / "log.ocio"
+    cfg.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        roles:
+          scene_linear: lin
+        colorspaces:
+          - name: lin
+          - name: logc3
+            to_scene_reference: !<LogCameraTransform>
+              base: 10
+              log_side_slope: [0.24719, 0.24719, 0.24719]
+              log_side_offset: [0.385537, 0.385537, 0.385537]
+              lin_side_slope: [5.555556, 5.555556, 5.555556]
+              lin_side_offset: [0.052272, 0.052272, 0.052272]
+              lin_side_break: [0.010591, 0.010591, 0.010591]
+              direction: inverse
+          - name: log2
+            to_scene_reference: !<LogAffineTransform>
+              base: 2
+              log_side_slope: [0.3, 0.3, 0.3]
+              log_side_offset: [0.5, 0.5, 0.5]
+              direction: inverse
+          - name: desat
+            from_scene_reference: !<CDLTransform>
+              slope: [1, 1, 1]
+              offset: [0, 0, 0]
+              power: [1, 1, 1]
+              sat: 0.5
+        """))
+    monkeypatch.setenv("OCIO", str(cfg))
+    ocio._CACHE.clear()
+
+    v = np.linspace(0.002, 0.9, 30, dtype=np.float32).reshape(-1, 1, 3)
+
+    # LogC3 encode: known reference point - mid grey 0.18 encodes to
+    # ~0.391 (ARRI's published LogC3 EI800 value)
+    grey = np.full((1, 1, 3), 0.18, np.float32)
+    enc = imgio.convert_colour(grey, "lin", "logc3")
+    np.testing.assert_allclose(enc, 0.391, atol=0.002)
+    # round trip through the break region and above
+    enc = imgio.convert_colour(v, "lin", "logc3")
+    back = imgio.convert_colour(enc, "logc3", "lin")
+    np.testing.assert_allclose(back, v, rtol=2e-4, atol=2e-6)
+
+    # LogAffine round trip
+    enc = imgio.convert_colour(v, "lin", "log2")
+    back = imgio.convert_colour(enc, "log2", "scene_linear")
+    np.testing.assert_allclose(back, v, rtol=2e-4, atol=2e-6)
+
+    # CDL saturation: greys unchanged, chroma halved toward luma
+    px = np.asarray([[[0.6, 0.2, 0.4]]], np.float32)
+    out = imgio.convert_colour(px, "lin", "desat")
+    luma = float((px * np.asarray([0.2126, 0.7152, 0.0722])).sum())
+    np.testing.assert_allclose(out, luma + 0.5 * (px - luma),
+                               atol=1e-6)
+    back = imgio.convert_colour(out, "desat", "lin")
+    np.testing.assert_allclose(back, px, atol=1e-6)
