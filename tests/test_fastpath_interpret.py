@@ -122,3 +122,21 @@ def test_multi_twined_champion_stable(capsys):
         _compiled_window(plan, (0, 512, 0, 512))([src0, src1]))
     p = psnr(fused, xla)
     assert p > 55.0, f"champion-stable stitch: only {p:.1f} dB"
+
+
+def test_multi_untwined_masked_merge():
+    """Untwined two-facet stitch with a partial facet: facet-edge
+    tiles run as masked MERGE passes (validity-dominance overlays) -
+    the one-jit multi frame must match the exact XLA synopsis."""
+    from envutil_tpu.runtime import fastpath
+    from envutil_tpu.runtime.render import _compiled_window
+
+    fct0, src0 = _mk_partial_facet(-15.0, 4)
+    fct1, src1 = _mk_partial_facet(15.0, 5)
+    plan = _mk_plan([fct0, fct1], 0, -1)
+    fused = fastpath.render_fast(plan, [src0, src1], verbose=True)
+    assert fused is not None, "fused path declined"
+    xla = np.asarray(
+        _compiled_window(plan, (0, 512, 0, 512))([src0, src1]))
+    p = psnr(fused, xla)
+    assert p > 55.0, f"multi masked-merge: only {p:.1f} dB"

@@ -243,3 +243,60 @@ def test_golden_hdr_merge(env):
              hfov=80 * math.pi / 180, yaw=30 * math.pi / 180)
     p = O.psnr(out, O.render(t, ofacets, synopsis="hdr_merge"))
     assert p > GOLDEN_DB, f"hdr merge: {p:.1f} dB"
+
+
+# ----------------------------------------- twined per-tap semantics
+
+def test_golden_twined_partial_facet(env, env_facet, env_src3):
+    """Solo twined render of a PARTIAL facet: each tap is weighted by
+    the tap's own deflected validity (synopsis_t per-tap masking over
+    one facet). Grounds the semantics the fused core/band
+    decomposition reproduces."""
+    a0 = make_args(Projection.RECTILINEAR, 96, 96, 70.0, [env_facet],
+                   degree=3, yaw=25.0)
+    fim = fw_render(a0, [env_src3])
+
+    f = make_facet(Projection.RECTILINEAR, 96, 96,
+                   70 * math.pi / 180, yaw=25 * math.pi / 180)
+    src = E.make_mount_source(f, fim, 3, 3)
+    spread = O.make_spread(2, 2, 1.0)
+    # the 80-deg view clips the facet: its edge band is in-frame
+    args = make_args(Projection.RECTILINEAR, 64, 48, 80.0, [f],
+                     degree=3, yaw=10.0, twine_spread=spread)
+    out = fw_render(args, [src])
+
+    of = O.MountFacet(O.RECTILINEAR, 96, 96, 70 * math.pi / 180, fim,
+                      yaw=25 * math.pi / 180, degree=3)
+    t = dict(projection=O.RECTILINEAR, width=64, height=48,
+             hfov=80 * math.pi / 180, yaw=10 * math.pi / 180)
+    p = O.psnr(out, O.render(t, [of], spread=spread))
+    assert p > GOLDEN_DB, f"twined partial facet: {p:.1f} dB"
+
+
+def test_golden_twined_voronoi(env, env_facet, env_src3):
+    """Twined two-facet voronoi: per tap, ALL facets' rays deflect,
+    champion is re-selected, and the taps weight-sum (synopsis_t,
+    envutil_payload.cc:587-691). Grounds the semantics the fused
+    champion-stable decomposition reproduces."""
+    yaws = (-20.0, 20.0)
+    fims, facets, ofacets, srcs = [], [], [], []
+    for i, yw in enumerate(yaws):
+        a = make_args(Projection.RECTILINEAR, 96, 96, 70.0,
+                      [env_facet], degree=3, yaw=yw)
+        fim = fw_render(a, [env_src3])
+        f = make_facet(Projection.RECTILINEAR, 96, 96,
+                       70 * math.pi / 180, no=i,
+                       yaw=yw * math.pi / 180)
+        facets.append(f)
+        srcs.append(E.make_mount_source(f, fim, 3, 3))
+        ofacets.append(O.MountFacet(
+            O.RECTILINEAR, 96, 96, 70 * math.pi / 180, fim,
+            yaw=yw * math.pi / 180, degree=3))
+    spread = O.make_spread(2, 2, 1.0)
+    args = make_args(Projection.SPHERICAL, 96, 48, 100.0, facets,
+                     degree=3, twine_spread=spread)
+    out = fw_render(args, srcs)
+    t = dict(projection=O.SPHERICAL, width=96, height=48,
+             hfov=100 * math.pi / 180)
+    p = O.psnr(out, O.render(t, ofacets, spread=spread))
+    assert p > GOLDEN_DB, f"twined voronoi: {p:.1f} dB"
