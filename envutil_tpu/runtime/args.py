@@ -224,6 +224,10 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--height", type=int, default=0, metavar="EXTENT")
     ap.add_argument("--support_min", type=int, default=8)
     ap.add_argument("--tile_size", type=int, default=64)
+    ap.add_argument("--ctc", type=int, default=0,
+                    help="cubemap facets measure fov center-to-center"
+                         ": convert to edge-to-edge semantics "
+                         "(README.md:845-869)")
     ap.add_argument("--synopsis", default="panorama", metavar="MODE")
     ap.add_argument("--working_colour_space", default="scene_linear")
     ap.add_argument("--input_colour_space", default="")
@@ -562,6 +566,24 @@ def parse_args(argv: List[str]) -> Args:
         args.facets.append(f)
 
     assert args.nfacets, "no facets"
+
+    if ns.ctc:
+        # center-to-center cubemaps: the reference documents the
+        # manual conversion fov' = 2*atan(tan(fov/2)*(w+1)/w)
+        # (README.md:845-869); --ctc applies it per cubemap facet
+        for f in args.facets:
+            if f.projection == Projection.CUBEMAP:
+                f.hfov = 2.0 * math.atan(
+                    math.tan(f.hfov / 2.0)
+                    * (f.width + 1.0) / f.width)
+                f.step = get_step(f.projection, f.width, f.height,
+                                  f.hfov)
+                f.extent = get_extent(f.projection, f.width,
+                                      f.height, f.hfov)
+                f.process_geometry()
+                if args.verbose:
+                    print(f"facet {f.facet_no}: ctc fov -> "
+                          f"{f.hfov / D2R:.6f} deg edge-to-edge")
 
     if args.solo == -1:
         args.solo = ns.solo

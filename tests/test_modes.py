@@ -336,3 +336,27 @@ def test_twine_pyramid_selection_and_guards():
     args2.facets = [f2]
     args2.twine_setup()
     assert f2.pyramid_level == 0 and f2.width == 8192
+
+
+def test_ctc_fov_conversion(tmp_path):
+    """--ctc converts a center-to-center cubemap facet's fov to
+    edge-to-edge semantics: fov' = 2*atan(tan(fov/2)*(w+1)/w)
+    (reference README.md:845-869)."""
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.runtime.args import parse_args
+
+    img = np.random.default_rng(3).uniform(
+        0, 1, (96, 16, 3)).astype(np.float32)
+    imgio.save_image(str(tmp_path / "cm.exr"), img,
+                     projection_name="cubemap", hfov_deg=90.0)
+    base = ["--input", str(tmp_path / "cm.exr"),
+            "--output", str(tmp_path / "o.exr"),
+            "--projection", "spherical", "--hfov", "360",
+            "--width", "64", "--height", "32"]
+    a0 = parse_args(base)
+    a1 = parse_args(base + ["--ctc", "1"])
+    f0, f1 = a0.facets[0], a1.facets[0]
+    assert f0.projection == Projection.CUBEMAP
+    exp = 2.0 * math.atan(math.tan(f0.hfov / 2.0) * 17.0 / 16.0)
+    assert abs(f1.hfov - exp) < 1e-12
+    assert f1.hfov > f0.hfov
