@@ -7,6 +7,7 @@ set -u
 OUT=${1:-/tmp/tpu_session}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 code=$(curl -s -m 5 -o /dev/null -w "%{http_code}" http://127.0.0.1:8093 || true)
 if [ "$code" = "000" ]; then
