@@ -427,8 +427,8 @@ def _union_minima(sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
 
 
 def _tap_weights(sxt, syt, bxc_u, degree: int, wc: WindowClass):
-    """Per-tap routing against the union column base: combined
-    (j, kappa) weights and the integer row base."""
+    """Per-tap routing against the union column base: factorized
+    vertical / horizontal weight vectors and the integer row base."""
     n1 = degree + 1
     off = degree // 2
     sely, ty = _split(syt, degree)
@@ -448,26 +448,52 @@ def _tap_weights(sxt, syt, bxc_u, degree: int, wc: WindowClass):
                               0.0 if acc_w is None else acc_w)
         wk.append(acc_w if acc_w is not None
                   else jnp.zeros(sxt.shape, jnp.float32))
-    wjk = [[wy[j] * wk[k] for k in range(wc.k_taps)]
-           for j in range(n1)]
-    return wjk, by
+    return wy, wk, by
 
 
-def _accumulate_union(cand, m_t, wjk, w_t, acc, *, degree: int,
-                      wc: WindowClass, nch: int):
-    """Route one tap through the shared candidate rows: candidate
-    ``m_t + j`` is this tap's j-th vertical tap (selected with a
-    u_span-deep where cascade - VPU work, no gathers)."""
+def _accumulate_weights(m_t, wy, wk, w_t, wacc, *, degree: int,
+                        wc: WindowClass):
+    """Accumulate one tap into the (k_taps, n1+u_span) weight planes.
+
+    The union-tap accumulation runs in *weight space*: a tap's
+    contribution to channel ch is sum_k sum_j wy[j]*wk[k] *
+    cand[k][m_t+j][ch], so accumulating W[k][m] += w_t*wy[j]*wk[k]
+    (with m = m_t + j) and combining with the candidate values ONCE
+    after the tap loop (_combine_union) computes the same sum with a
+    per-tap VPU cost independent of nch: the vertical routing is n1 *
+    (u_span+1) selects on the weights, and the update is a rank-1
+    outer product of the (k_taps) x (n1+u_span) weight matrix -
+    instead of the former nch-deep value-select cascade per (k, j)."""
     n1 = degree + 1
-    sels = [m_t == s for s in range(1, wc.u_span + 1)]
+    U = wc.u_span
+    # the value cascade's default (no s in 1..u_span matches) was the
+    # m_t == 0 candidate; keep that routing bit-identical
+    sel0 = jnp.logical_or(m_t <= 0, m_t > U)
+    sels = [sel0] + [m_t == s for s in range(1, U + 1)]
+    wyr = [None] * (n1 + U)
+    for j in range(n1):
+        wj = w_t * wy[j]
+        for s in range(U + 1):
+            contrib = jnp.where(sels[s], wj, 0.0)
+            m = j + s
+            wyr[m] = contrib if wyr[m] is None else wyr[m] + contrib
+    return tuple(
+        tuple(wacc[k][m] + wk[k] * wyr[m] for m in range(n1 + U))
+        for k in range(wc.k_taps))
+
+
+def _combine_union(cand, wacc, *, degree: int, wc: WindowClass,
+                   nch: int):
+    """Post-tap-loop combine: weighted sum of the shared candidate
+    rows with the accumulated per-(k, m) weight planes."""
+    n1 = degree + 1
+    acc = [jnp.zeros(wacc[0][0].shape, jnp.float32)
+           for _c in range(nch)]
     for k in range(wc.k_taps):
-        for j in range(n1):
-            w = w_t * wjk[j][k]
+        for m in range(n1 + wc.u_span):
+            w = wacc[k][m]
             for ch in range(nch):
-                v = cand[k][j][ch]
-                for s in range(1, wc.u_span + 1):
-                    v = jnp.where(sels[s - 1], cand[k][j + s][ch], v)
-                acc[ch] = acc[ch] + w * v
+                acc[ch] = acc[ch] + w * cand[k][m][ch]
     return acc
 
 
@@ -534,17 +560,20 @@ def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
                     v = jnp.where(qb == b, g, v)
                 cand[k][m][ch] = v
 
-    def tap_body(ti, acc):
+    def tap_body(ti, wacc):
         sxt, syt, w_t = _tap_coords(sx, sy, dux, duy, dvx, dvy,
                                     spread_ref, ti)
-        wjk, by = _tap_weights(sxt, syt, bxc_u, degree, wc)
+        wy, wk, by = _tap_weights(sxt, syt, bxc_u, degree, wc)
         ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
         m_t = ly - rl_lo
-        return tuple(_accumulate_union(cand, m_t, wjk, w_t, list(acc),
-                                       degree=degree, wc=wc, nch=nch))
+        return _accumulate_weights(m_t, wy, wk, w_t, wacc,
+                                   degree=degree, wc=wc)
 
-    acc0 = tuple(jnp.zeros(sx.shape, jnp.float32) for _c in range(nch))
-    return list(jax.lax.fori_loop(0, n_taps, tap_body, acc0))
+    wacc0 = tuple(tuple(jnp.zeros(sx.shape, jnp.float32)
+                        for _m in range(n1 + U))
+                  for _k in range(wc.k_taps))
+    wacc = jax.lax.fori_loop(0, n_taps, tap_body, wacc0)
+    return _combine_union(cand, wacc, degree=degree, wc=wc, nch=nch)
 
 
 def _resolve_sheared_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
@@ -598,16 +627,19 @@ def _resolve_sheared_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
                     v = jnp.where(qb_m == q, g, v)
                 cand[k][m][ch] = v
 
-    def tap_body(ti, acc):
+    def tap_body(ti, wacc):
         sxt, syt, w_t = _tap_coords(sx, sy, dux, duy, dvx, dvy,
                                     spread_ref, ti)
-        wjk, by = _tap_weights(sxt, syt, bxc_u, degree, wc)
+        wy, wk, by = _tap_weights(sxt, syt, bxc_u, degree, wc)
         m_t = by - bymin
-        return tuple(_accumulate_union(cand, m_t, wjk, w_t, list(acc),
-                                       degree=degree, wc=wc, nch=nch))
+        return _accumulate_weights(m_t, wy, wk, w_t, wacc,
+                                   degree=degree, wc=wc)
 
-    acc0 = tuple(jnp.zeros(sx.shape, jnp.float32) for _c in range(nch))
-    return list(jax.lax.fori_loop(0, n_taps, tap_body, acc0))
+    wacc0 = tuple(tuple(jnp.zeros(sx.shape, jnp.float32)
+                        for _m in range(n1 + U))
+                  for _k in range(wc.k_taps))
+    wacc = jax.lax.fori_loop(0, n_taps, tap_body, wacc0)
+    return _combine_union(cand, wacc, degree=degree, wc=wc, nch=nch)
 
 
 def _eval_row_block_sheared(sx, sy, win_ref, *, degree: int,
