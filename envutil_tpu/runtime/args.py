@@ -288,10 +288,19 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def _glean_facet_metrics(fct: Facet, read_hfov: bool,
-                         read_projection: bool, verbose: bool) -> None:
+                         read_projection: bool, verbose: bool,
+                         env_aspect: bool = False) -> None:
     """Open the image to get size/channels (and optionally Projection /
     Hfov metadata - facet_spec::get_image_metrics,
-    envutil_basic.h:545-630)."""
+    envutil_basic.h:545-630).
+
+    ``env_aspect`` is set for ``--input`` (this framework's
+    'environment image' sugar; the reference has no such argument):
+    when the image carries no Projection metadatum, a 2:1 image is
+    taken as a full lat/lon environment and a 1:6 vertical stripe as
+    a cubemap - the two environment formats envutil is documented to
+    take (envutil_main.cc:39-41). ``--photo`` keeps the reference's
+    metadata-else-rectilinear-65 behavior (envutil_basic.h:607-625)."""
     name = fct.filename
     if "%s" in name:
         from ..core.conventions import FACE_NAMES
@@ -304,30 +313,46 @@ def _glean_facet_metrics(fct: Facet, read_hfov: bool,
     if "%s" in fct.filename:
         # six separate faces: the facet is the full 1:6 stripe
         fct.height = fct.window_height = 6 * fct.width
-    if read_hfov:
-        if "Hfov" in meta:
-            fct.hfov = meta["Hfov"] * D2R
-            if verbose:
-                print(f"found hfov in metadata: {meta['Hfov']}")
-        else:
-            if verbose:
-                print("no 'Hfov' metadatum found; assuming 65 degrees")
-            fct.hfov = 65.0 * D2R
+    inferred_hfov = None
     if read_projection:
         if "%s" in fct.filename:
             # a cubeface series is a cubemap regardless of the faces'
-            # own (rectilinear) metadata
+            # own (rectilinear) metadata (and hfov)
             fct.projection = Projection.CUBEMAP
             fct.hfov = math.pi / 2
+            read_hfov = False
         elif "Projection" in meta:
             fct.projection = parse_projection(meta["Projection"])
             if verbose:
                 print(f"found projection in metadata: {meta['Projection']}")
+        elif env_aspect and fct.width == 2 * fct.height:
+            fct.projection = Projection.SPHERICAL
+            inferred_hfov = 2.0 * math.pi
+            if verbose:
+                print("no 'Projection' metadatum; 2:1 aspect -> "
+                      "full spherical (360 degrees)")
+        elif env_aspect and fct.height == 6 * fct.width:
+            fct.projection = Projection.CUBEMAP
+            inferred_hfov = math.pi / 2
+            if verbose:
+                print("no 'Projection' metadatum; 1:6 aspect -> "
+                      "cubemap (90-degree faces)")
         else:
             if verbose:
                 print("no 'Projection' metadatum found; assuming "
                       "'rectilinear'")
             fct.projection = Projection.RECTILINEAR
+    if read_hfov:
+        if "Hfov" in meta:
+            fct.hfov = meta["Hfov"] * D2R
+            if verbose:
+                print(f"found hfov in metadata: {meta['Hfov']}")
+        elif inferred_hfov is not None:
+            fct.hfov = inferred_hfov
+        else:
+            if verbose:
+                print("no 'Hfov' metadatum found; assuming 65 degrees")
+            fct.hfov = 65.0 * D2R
 
 
 def _consume_pto(args: Args, ns, ignore_p_line: bool):
@@ -513,7 +538,8 @@ def parse_args(argv: List[str]) -> Args:
 
     facet_args = list(ns.facet)
     if ns.input:
-        facet_args.insert(0, [ns.input, "metadata", "-1", "0", "0", "0"])
+        facet_args.insert(0, [ns.input, "env_metadata", "-1", "0",
+                              "0", "0"])
     for name in ns.photo:
         facet_args.append([name, "metadata", "-1", "0", "0", "0"])
 
@@ -546,14 +572,16 @@ def parse_args(argv: List[str]) -> Args:
         f.filename = spec[0]
         f.asset_key = f.filename
         f.colour_space = args.input_colour_space
-        read_projection = spec[1] == "metadata"
+        read_projection = spec[1] in ("metadata", "env_metadata")
         f.hfov = float(spec[2])
         read_hfov = f.hfov == -1.0
         if not read_hfov and f.hfov <= 0:
             raise SystemExit(f"facet hfov invalid: {f.hfov}")
         if not read_projection:
             f.projection = parse_projection(spec[1])
-        _glean_facet_metrics(f, read_hfov, read_projection, args.verbose)
+        _glean_facet_metrics(f, read_hfov, read_projection,
+                             args.verbose,
+                             env_aspect=spec[1] == "env_metadata")
         if not read_hfov:
             f.hfov = float(spec[2]) * D2R
         f.yaw = float(spec[3]) * D2R

@@ -360,3 +360,46 @@ def test_ctc_fov_conversion(tmp_path):
     exp = 2.0 * math.atan(math.tan(f0.hfov / 2.0) * 17.0 / 16.0)
     assert abs(f1.hfov - exp) < 1e-12
     assert f1.hfov > f0.hfov
+
+
+def test_input_aspect_inference(tmp_path):
+    """--input (this framework's environment-image sugar) infers the
+    projection from the aspect ratio when the image carries no
+    Projection metadatum: 2:1 -> full spherical, 1:6 -> cubemap - the
+    two environment formats envutil takes (envutil_main.cc:39-41).
+    --photo keeps the reference's metadata-else-rectilinear-65
+    behavior (envutil_basic.h:607-625)."""
+    import imageio.v3 as iio
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.runtime.args import parse_args
+
+    rng = np.random.default_rng(5)
+    iio.imwrite(str(tmp_path / "eq.tiff"),
+                rng.uniform(0, 1, (64, 128, 3)).astype(np.float32))
+    iio.imwrite(str(tmp_path / "cm.tiff"),
+                rng.uniform(0, 1, (96, 16, 3)).astype(np.float32))
+    iio.imwrite(str(tmp_path / "ph.tiff"),
+                rng.uniform(0, 1, (60, 80, 3)).astype(np.float32))
+    tail = ["--output", str(tmp_path / "o.exr"), "--projection",
+            "rectilinear", "--hfov", "90", "--width", "32"]
+
+    f = parse_args(["--input", str(tmp_path / "eq.tiff")]
+                   + tail).facets[0]
+    assert f.projection == Projection.SPHERICAL
+    assert abs(f.hfov - 2 * math.pi) < 1e-12
+
+    f = parse_args(["--input", str(tmp_path / "cm.tiff")]
+                   + tail).facets[0]
+    assert f.projection == Projection.CUBEMAP
+    assert abs(f.hfov - math.pi / 2) < 1e-12
+
+    # non-environment aspect falls back to the --photo default
+    f = parse_args(["--input", str(tmp_path / "ph.tiff")]
+                   + tail).facets[0]
+    assert f.projection == Projection.RECTILINEAR
+    assert abs(f.hfov - 65.0 * math.pi / 180.0) < 1e-12
+
+    # --photo of a 2:1 image stays reference-faithful: rectilinear 65
+    f = parse_args(["--photo", str(tmp_path / "eq.tiff")]
+                   + tail).facets[0]
+    assert f.projection == Projection.RECTILINEAR
