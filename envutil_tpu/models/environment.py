@@ -471,3 +471,12 @@ def apply_brighten(px, brighten: float):
         colour = px[..., :nch - 1] * brighten
         return jnp.concatenate([colour, px[..., nch - 1:]], -1)
     return px * brighten
+
+
+def apply_brighten_planar(px, brighten: float):
+    """apply_brighten for channel-planes-first (C, H, W) data."""
+    nch = px.shape[0]
+    if nch in (2, 4):
+        colour = px[:nch - 1] * brighten
+        return jnp.concatenate([colour, px[nch - 1:]], 0)
+    return px * brighten

@@ -880,7 +880,8 @@ _FRAME_CACHE = {}
 
 def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                    fi: int = 0, nch_out=None, brighten=None,
-                   spread=None, pertap: bool = False, exclude=None):
+                   spread=None, pertap: bool = False, exclude=None,
+                   finish: str = "image"):
     """Build the one-jit fused frame for a solo render: per-pass
     coordinates restricted to the pass's tile bounding box, compact
     per-tile kernel grids writing into one donated canvas, and a
@@ -888,6 +889,21 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     at the end - the whole frame is one XLA program so the elementwise
     stages fuse. ``spread`` (bias-folded (cx, cy, w) taps) fuses the
     twining filter into the kernel passes.
+
+    ``finish`` selects the frame's output contract:
+      * ``"image"`` (default): ``frame(st, eps)`` returns the finished
+        (H, W, nch_out) interleaved image.
+      * ``"planar"``: ``frame(st, eps)`` returns the masked,
+        brightened (nch_in, ph, pw) channel planes - no transpose and
+        no channel adaptation (planar consumers interleave on host).
+      * ``"reuse"``: ``frame(st, canvas, eps)`` takes the previous
+        frame's (nch_in, ph, pw) canvas, donates it to the kernel
+        passes instead of materializing fresh zeros, and returns
+        ``(image, canvas)``. Only valid when no pass is a masked
+        merge (every assigned tile is fully rewritten each frame);
+        the builder asserts this. Unassigned (``assigned == -1``)
+        tiles keep the donated canvas's previous content - callers
+        must patch them every frame (the fast render paths do).
 
     ``pertap``: classify tiles for the *full* spread footprint but
     compile a single-tap frame whose tap coefficients come from the
@@ -978,8 +994,11 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
 
     n_taps = 0 if spread is None else (1 if pertap else len(spread))
 
-    def frame(st, eps):
-        canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
+    if finish == "reuse":
+        assert not any(p[4] for p in passes), \
+            "finish='reuse' requires full-tile passes (no merges)"
+
+    def run_passes(st, canvas, eps):
         mask0 = None
         for pi, (name, wc, box, degree, _shape, _nt, merge,
                  inline) in enumerate(struct):
@@ -1051,6 +1070,9 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                     dux, duy, dvx, dvy, st["tiles"][pi],
                     st["spread"], degree=degree, n_taps=n_taps,
                     wc=wc, merge_mask=mm)
+        return canvas, mask0
+
+    def masked(st, canvas, mask0):
         if pertap or full_cover:
             # per-tap frames are masked by the caller; full-spherical
             # sources cover every ray, so the finish mask is identity
@@ -1061,24 +1083,53 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                                                st["src"], fi,
                                                (0.0, 0.0), st["basis"])
             px = jnp.where(mask0[None], canvas, 0.0)
+        return px
+
+    def finish_img(px):
         img = jnp.moveaxis(px, 0, -1)
         img = E.repix(img, nch_out)
         if brighten != 1.0:
             img = E.apply_brighten(img, brighten)
         return img
 
+    if finish == "planar":
+        def frame(st, eps):
+            canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
+            canvas, mask0 = run_passes(st, canvas, eps)
+            px = masked(st, canvas, mask0)
+            if brighten != 1.0:
+                px = E.apply_brighten_planar(px, brighten)
+            return px
+    elif finish == "reuse":
+        def frame(st, canvas, eps):
+            canvas, mask0 = run_passes(st, canvas, eps)
+            return finish_img(masked(st, canvas, mask0)), canvas
+    else:
+        def frame(st, eps):
+            canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
+            canvas, mask0 = run_passes(st, canvas, eps)
+            return finish_img(masked(st, canvas, mask0))
+
+    key = key + (finish,)
     return frame, state, assigned, passes, key
 
 
 def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                 fi: int = 0, nch_out=None, brighten=None,
-                spread=None, pertap: bool = False, exclude=None):
+                spread=None, pertap: bool = False, exclude=None,
+                finish: str = "image"):
     frame, state, assigned, passes, key = _frame_builder(
         plan, src, window, classes, fi, nch_out, brighten, spread,
-        pertap, exclude=exclude)
+        pertap, exclude=exclude, finish=finish)
     fn = _FRAME_CACHE.get(key)
     if fn is None:
-        fn = _FRAME_CACHE[key] = jax.jit(frame)
+        if finish == "reuse":
+            # eager (serve-mode) callers really do recycle the canvas
+            # buffer; inside an outer jit the donation is inlined away
+            fn = jax.jit(frame, donate_argnums=(1,))
+        else:
+            fn = jax.jit(frame)
+        _FRAME_CACHE[key] = fn
     return fn, state, assigned, passes
 
 

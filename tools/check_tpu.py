@@ -84,6 +84,27 @@ def main():
     print(f"solo fused vs XLA: PSNR {p:.1f} dB", flush=True)
     ok &= p > 60.0
 
+    # --- finish modes: planar / reuse frames match the image frame --
+    win = (0, 256, 0, 256)
+    f_img, st, _a, passes = fastpath.fused_frame(plan, src, win)
+    base = np.asarray(f_img(st, jnp.float32(0)))
+    f_pl, st_pl, _a, _p = fastpath.fused_frame(plan, src, win,
+                                               finish="planar")
+    planar = np.moveaxis(np.asarray(f_pl(st_pl, jnp.float32(0))),
+                         0, -1)
+    same_pl = np.array_equal(planar, base)
+    print(f"finish=planar matches image: {same_pl}", flush=True)
+    ok &= same_pl
+    if not any(ps[4] for ps in passes):
+        f_ru, st_ru, _a, _p = fastpath.fused_frame(plan, src, win,
+                                                   finish="reuse")
+        canvas = jnp.zeros((base.shape[-1], 256, 256), jnp.float32)
+        _img1, canvas = f_ru(st_ru, canvas, jnp.float32(0))
+        img2, canvas = f_ru(st_ru, canvas, jnp.float32(0))
+        same_ru = np.array_equal(np.asarray(img2), base)
+        print(f"finish=reuse matches image: {same_ru}", flush=True)
+        ok &= same_ru
+
     # --- per-tap twined multi-facet vs XLA ---------------------------
     fct0, src0 = mk_facet(768, 384, 0.0, 1)
     # a partial facet (not full 360) so validity masks cut in

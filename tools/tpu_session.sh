@@ -35,5 +35,7 @@ run bench python bench.py
 run sweep_twine python benchmarks.py 4b 4c 4
 run sweep_stitch python benchmarks.py 5 5b 5d 5c
 run sweep_rest python benchmarks.py 1 3 2r 3b
+# 4. finish-mode probe (canvas zeros / transpose cost on the headline)
+run probe_finish python tools/probe_finish.py
 
 tail -n 3 "$OUT"/*.log
