@@ -91,6 +91,7 @@ class Args(Facet):
     single: int = -1
     mask_for: int = -1
     out_brighten: float = 1.0
+    mesh: int = 0
 
     @property
     def nfacets(self) -> int:
@@ -277,6 +278,10 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pto", default="", metavar="PTOFILE")
     ap.add_argument("--pto_line", action="append", default=[],
                     metavar="LINE")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="shard the render over N devices (output rows "
+                         "split over a jax.sharding.Mesh, sources "
+                         "replicated); 0 = single device")
     ap.add_argument("--solo", type=int, default=-1)
     ap.add_argument("--mask_for", type=int, default=-1)
     ap.add_argument("--nchannels", type=int, default=0)
@@ -525,6 +530,7 @@ def parse_args(argv: List[str]) -> Args:
     args.support_min = ns.support_min
     args.tile_size = ns.tile_size
     args.out_brighten = ns.brighten
+    args.mesh = ns.mesh
 
     if args.prefilter_degree < 0:
         args.prefilter_degree = args.spline_degree

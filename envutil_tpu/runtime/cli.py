@@ -90,7 +90,7 @@ def _run_job(args) -> None:
             amplify = 1.0 / b
 
     img = render_frame(plan, active, verbose=args.verbose,
-                       amplify=amplify)
+                       amplify=amplify, mesh_n=args.mesh)
     rt_cumulated += render_frame.last_ms
 
     if args.mask_for != -1 and img.shape[-1] == 2:

@@ -238,14 +238,26 @@ def _compiled_window(plan: RenderPlan, window) -> Callable:
 
 def render_frame(plan: RenderPlan, sources: List[E.FacetSource],
                  verbose: bool = False,
-                 amplify: Optional[float] = None) -> np.ndarray:
+                 amplify: Optional[float] = None,
+                 mesh_n: int = 0) -> np.ndarray:
     """Run a frame: possibly in row strips (memory bound), returns the
     host-side (H, W, C) float32 array. Timing is reported like the
     reference's 'frame rendering time' (envutil_payload.cc:546-557).
 
     Qualifying single-facet renders route through the fused Pallas
-    kernel (runtime/fastpath.py); everything else uses the XLA graph."""
+    kernel (runtime/fastpath.py); everything else uses the XLA graph.
+    ``mesh_n > 1`` (the --mesh option) shards the output rows over that
+    many devices (sources replicated, zero-communication SPMD - the
+    reference's thread-pool tile decomposition ridden on the device
+    mesh); falls back to single-device when the device count or the
+    output height doesn't permit it."""
     from . import fastpath
+
+    if mesh_n and mesh_n > 1:
+        img = _render_frame_mesh(plan, sources, mesh_n, verbose,
+                                 amplify)
+        if img is not None:
+            return img
 
     start0 = time.perf_counter()
     fast = fastpath.render_fast(
@@ -301,3 +313,40 @@ def render_frame(plan: RenderPlan, sources: List[E.FacetSource],
 
 
 render_frame.last_ms = 0.0
+
+
+def _render_frame_mesh(plan: RenderPlan, sources, mesh_n: int,
+                       verbose: bool, amplify) -> Optional[np.ndarray]:
+    """--mesh N: output rows sharded over an N-device mesh, sources
+    replicated. Returns None (with a warning) when the configuration
+    can't shard - the caller falls back to the single-device paths."""
+    from ..parallel import mesh as PM
+
+    devices = jax.devices()
+    if len(devices) < mesh_n:
+        print(f"--mesh {mesh_n}: only {len(devices)} device(s) "
+              "available; rendering on one", flush=True)
+        return None
+    y0, y1 = (plan.crop[0], plan.crop[1]) if plan.crop is not None \
+        else (0, plan.height)
+    if (y1 - y0) % mesh_n != 0:
+        print(f"--mesh {mesh_n}: output height {y1 - y0} not "
+              f"divisible by {mesh_n}; rendering on one", flush=True)
+        return None
+
+    start = time.perf_counter()
+    mesh = PM.make_mesh(devices[:mesh_n])
+    srcs = PM.replicate_sources(sources, mesh)
+    fn = PM.sharded_render(plan, srcs, mesh)
+    out = fn(srcs)
+    if amplify is not None:
+        out = E.apply_brighten(out, amplify)
+    img = np.asarray(jax.device_get(out), np.float32)
+    msec = (time.perf_counter() - start) * 1000.0
+    if verbose:
+        n_px = img.shape[0] * img.shape[1]
+        print(f"frame rendering time: {msec:.1f} ms "
+              f"({n_px / 1e6 / (msec / 1000.0):.1f} Mpix/s, "
+              f"{mesh_n} devices)")
+    render_frame.last_ms = msec
+    return img

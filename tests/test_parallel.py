@@ -58,6 +58,38 @@ def test_sharded_render_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_render_frame_mesh_option():
+    """render_frame(mesh_n=N) - the --mesh CLI path - matches the
+    single-device frame and falls back cleanly when it can't shard."""
+    img = RNG.uniform(0, 1, (64, 128, 3)).astype(np.float32)
+    fct = _make(Projection.SPHERICAL, 128, 64, 2 * math.pi)
+    src = E.make_mount_source(fct, img, 1, 1)
+
+    args = Args()
+    args.projection = Projection.RECTILINEAR
+    args.width, args.height = 64, 64
+    args.hfov = math.radians(80)
+    args.extent = get_extent(args.projection, 64, 64, args.hfov)
+    args.step = (args.extent.x1 - args.extent.x0) / 64
+    args.yaw = math.radians(-20)
+    args.spline_degree = args.prefilter_degree = 1
+    args.twine = 0
+    args.synopsis = "panorama"
+    args.nchannels = 3
+    args.facets = [fct]
+    args.solo = 0
+    plan = build_plan(args, [fct])
+
+    single = render_frame(plan, [src])
+    meshed = render_frame(plan, [src], mesh_n=8)
+    np.testing.assert_allclose(meshed, single, atol=1e-6)
+
+    # 64 rows don't divide over 7 devices: must fall back, not crash
+    fallback = render_frame(plan, [src], mesh_n=7)
+    np.testing.assert_allclose(fallback, single, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 @pytest.mark.parametrize("degree", [1, 3])
 def test_ring_spline_eval_exact(degree):
     """Facet-sharded evaluation: coefficient row bands ring-rotated
