@@ -285,3 +285,203 @@ def test_ocio_log_and_cdl_sat(tmp_path, monkeypatch):
                                atol=1e-6)
     back = imgio.convert_colour(out, "desat", "lin")
     np.testing.assert_allclose(back, px, atol=1e-6)
+
+
+@pytest.mark.parametrize("name,enc018", [
+    ("slog3", 420.0 / 1023.0),
+    ("logc3", 0.391007),
+    ("log3g10", 1.0 / 3.0),
+    ("vlog", 0.423311),
+    ("acescct", 0.4135884),
+    ("acescc", 0.4135884),
+    ("logc4", 0.2783958),
+])
+def test_camera_log_grey_anchors(name, enc018):
+    """Each camera-log encode maps 18% grey to the vendor-published
+    code value (the standard cross-check for these curves)."""
+    dec, enc = C._TRANSFERS[name]
+    got = float(np.asarray(enc(np.float32(0.18))).ravel()[0])
+    assert abs(got - enc018) < 2e-4, (name, got, enc018)
+
+
+@pytest.mark.parametrize("name", ["acescct", "logc3", "logc4", "slog3",
+                                  "log3g10", "vlog", "clog2"])
+def test_camera_log_round_trip(name):
+    """decode(encode(x)) == x across the break region, negatives, and
+    HDR range (ACEScc excluded: it floors negatives per S-2014-003)."""
+    dec, enc = C._TRANSFERS[name]
+    x = np.linspace(-0.05, 8.0, 2001, dtype=np.float32)
+    np.testing.assert_allclose(dec(enc(x)), x, atol=2e-5, rtol=1e-4)
+
+
+def test_camera_space_conversion():
+    """Full camera-space conversions: curve + derived gamut matrix.
+    Greys are achromatic in every camera gamut, and AP1->AP0 matches
+    the published ACES matrix."""
+    grey = np.full((1, 3), 420.0 / 1023.0, np.float32)
+    out = C.convert(grey, "slog3", "ACES2065-1")
+    np.testing.assert_allclose(out, 0.18, atol=1e-5)
+    m = C.conversion_matrix(C.find_space("acescg"),
+                            C.find_space("aces"))
+    ref = np.array([[0.6954522414, 0.1406786965, 0.1638690622],
+                    [0.0447945634, 0.8596711185, 0.0955343182],
+                    [-0.0055258826, 0.0040252103, 1.0015006723]])
+    np.testing.assert_allclose(m, ref, atol=1e-7)
+    # round trip a colour through a camera space
+    x = RNG.uniform(0.01, 1.0, (16, 3)).astype(np.float32)
+    y = C.convert(C.convert(x, "lin_rec709", "logc4"), "logc4",
+                  "lin_rec709")
+    np.testing.assert_allclose(y, x, atol=2e-4)
+
+
+def test_ocio_builtin_transform_styles(tmp_path, monkeypatch):
+    """BuiltinTransform: the ACES config registry styles - camera
+    *_to_ACES2065-1 (forward + direction inverse), curve-only styles,
+    and the CIE-XYZ-D65 display hub."""
+    import textwrap
+
+    from envutil_tpu.io import imgio, ocio
+
+    cfg = tmp_path / "aceslike.ocio"
+    cfg.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        roles:
+          scene_linear: ACES2065-1
+        colorspaces:
+          - name: ACES2065-1
+          - name: ACEScct
+            to_scene_reference: !<BuiltinTransform>
+              style: ACEScct_to_ACES2065-1
+          - name: ACEScg
+            from_scene_reference: !<BuiltinTransform>
+              style: ACEScg_to_ACES2065-1
+              direction: inverse
+          - name: slog3_sg3
+            to_scene_reference: !<BuiltinTransform>
+              style: SONY_SLOG3-SGAMUT3_to_ACES2065-1
+          - name: logc4
+            to_scene_reference: !<BuiltinTransform>
+              style: ARRI_LOGC4_to_ACES2065-1
+          - name: acescct_curve
+            to_scene_reference: !<BuiltinTransform>
+              style: CURVE - ACEScct-LOG_to_LINEAR
+          - name: srgb_display
+            from_scene_reference: !<GroupTransform>
+              children:
+                - !<BuiltinTransform> {style: UTILITY - ACES-AP0_to_CIE-XYZ-D65_BFD}
+                - !<BuiltinTransform> {style: DISPLAY - CIE-XYZ-D65_to_sRGB}
+        """))
+    monkeypatch.setenv("OCIO", str(cfg))
+    ocio._CACHE.clear()
+
+    grey = np.full((1, 1, 3), 0.4135884, np.float32)
+    out = imgio.convert_colour(grey, "ACEScct", "scene_linear")
+    np.testing.assert_allclose(out, 0.18, atol=1e-4)
+    back = imgio.convert_colour(out, "ACES2065-1", "ACEScct")
+    np.testing.assert_allclose(back, grey, atol=1e-5)
+
+    # camera greys land on 0.18 AP0 grey
+    for name, cv in (("slog3_sg3", 420.0 / 1023.0),
+                     ("logc4", 0.2783958)):
+        g = np.full((1, 1, 3), cv, np.float32)
+        out = imgio.convert_colour(g, name, "ACES2065-1")
+        np.testing.assert_allclose(out, 0.18, atol=2e-4,
+                                   err_msg=name)
+
+    # curve-only style has no gamut hop
+    out = imgio.convert_colour(grey, "acescct_curve", "scene_linear")
+    np.testing.assert_allclose(out, 0.18, atol=1e-4)
+
+    # display hub: AP0 grey through XYZ to the sRGB encode of 0.18
+    g = np.full((1, 1, 3), 0.18, np.float32)
+    out = imgio.convert_colour(g, "ACES2065-1", "srgb_display")
+    np.testing.assert_allclose(out, imgio.linear_to_srgb(g), atol=1e-4)
+
+    # ACEScg (config spells it direction: inverse on from_reference)
+    x = RNG.uniform(0.0, 1.0, (8, 1, 3)).astype(np.float32)
+    out = imgio.convert_colour(x, "ACEScg", "ACES2065-1")
+    np.testing.assert_allclose(out, C.convert(x, "acescg", "aces"),
+                               atol=1e-6)
+
+    # unknown style still raises loudly
+    cfg2 = tmp_path / "bad.ocio"
+    cfg2.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        roles: {scene_linear: lin}
+        colorspaces:
+          - name: lin
+          - name: adx
+            to_scene_reference: !<BuiltinTransform>
+              style: ADX10_to_ACES2065-1
+        """))
+    monkeypatch.setenv("OCIO", str(cfg2))
+    ocio._CACHE.clear()
+    with pytest.raises(ValueError, match="ADX10"):
+        imgio.convert_colour(x, "adx", "scene_linear")
+
+
+def test_ocio_grading_transforms(tmp_path, monkeypatch):
+    """GradingPrimary / GradingRGBCurve / GradingTone through a config:
+    identity at defaults, documented control behaviour, and derived
+    inverses."""
+    import textwrap
+
+    from envutil_tpu.io import imgio, ocio
+
+    cfg = tmp_path / "grade.ocio"
+    cfg.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        roles:
+          scene_linear: lin
+        colorspaces:
+          - name: lin
+          - name: exposed
+            from_scene_reference: !<GradingPrimaryTransform>
+              style: linear
+              exposure: {rgb: [0, 0, 0], master: 1}
+          - name: graded
+            from_scene_reference: !<GradingPrimaryTransform>
+              style: log
+              contrast: {rgb: [1.1, 1.0, 0.95], master: 1.0}
+              saturation: 0.8
+          - name: curved
+            from_scene_reference: !<GradingRGBCurveTransform>
+              style: log
+              master: {control_points: [0, 0, 0.5, 0.6, 1, 1]}
+          - name: toned
+            from_scene_reference: !<GradingToneTransform>
+              style: log
+              whites: {rgb: [1, 1, 1], master: 1.4, start: 0.5, width: 0.5}
+        """))
+    monkeypatch.setenv("OCIO", str(cfg))
+    ocio._CACHE.clear()
+
+    v = RNG.uniform(0.01, 1.0, (32, 1, 3)).astype(np.float32)
+
+    # +1 stop
+    out = imgio.convert_colour(v, "lin", "exposed")
+    np.testing.assert_allclose(out, v * 2.0, rtol=1e-6)
+    back = imgio.convert_colour(out, "exposed", "lin")
+    np.testing.assert_allclose(back, v, rtol=1e-5)
+
+    # log-style grade round-trips through the derived inverse
+    out = imgio.convert_colour(v, "lin", "graded")
+    back = imgio.convert_colour(out, "graded", "scene_linear")
+    np.testing.assert_allclose(back, v, rtol=1e-3, atol=1e-4)
+
+    # curve hits its control point and inverts
+    g = np.full((1, 1, 3), 0.5, np.float32)
+    out = imgio.convert_colour(g, "lin", "curved")
+    np.testing.assert_allclose(out, 0.6, atol=1e-6)
+    back = imgio.convert_colour(out, "curved", "lin")
+    np.testing.assert_allclose(back, g, atol=2e-3)
+
+    # tone: whites zone lifts highlights, leaves blacks pinned
+    hi = np.full((1, 1, 3), 0.9, np.float32)
+    lo = np.full((1, 1, 3), 0.05, np.float32)
+    out_hi = imgio.convert_colour(hi, "lin", "toned")
+    out_lo = imgio.convert_colour(lo, "lin", "toned")
+    assert float(out_hi.mean()) > 0.9 + 1e-3
+    np.testing.assert_allclose(out_lo, lo, atol=1e-5)
+    back = imgio.convert_colour(out_hi, "toned", "lin")
+    np.testing.assert_allclose(back, hi, atol=5e-3)
