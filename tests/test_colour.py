@@ -485,3 +485,40 @@ def test_ocio_grading_transforms(tmp_path, monkeypatch):
     np.testing.assert_allclose(out_lo, lo, atol=1e-5)
     back = imgio.convert_colour(out_hi, "toned", "lin")
     np.testing.assert_allclose(back, hi, atol=5e-3)
+
+
+def test_ocio_inverse_lut3d(tmp_path, monkeypatch):
+    """Inverse Lut3D: coarse-seed + Newton numeric inverse recovers
+    the input of a smooth invertible LUT to ~1e-3."""
+    import textwrap
+
+    from envutil_tpu.io import imgio, ocio
+
+    m = 17
+    g = np.linspace(0, 1, m)
+    rows = []
+    for b in g:
+        for gg in g:
+            for r in g:  # red fastest
+                rows.append(f"{r ** 1.8:.8f} {gg ** 2.2:.8f} "
+                            f"{b ** 1.5:.8f}\n")
+    luts = tmp_path / "luts"
+    luts.mkdir()
+    (luts / "pow.cube").write_text(f"LUT_3D_SIZE {m}\n" + "".join(rows))
+    cfg = tmp_path / "test.ocio"
+    cfg.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        search_path: luts
+        roles: {scene_linear: lin}
+        colorspaces:
+          - name: lin
+          - name: powed
+            from_scene_reference: !<FileTransform> {src: pow.cube}
+        """))
+    monkeypatch.setenv("OCIO", str(cfg))
+    ocio._CACHE.clear()
+
+    v = RNG.uniform(0.05, 0.95, (16, 1, 3)).astype(np.float32)
+    enc = imgio.convert_colour(v, "lin", "powed")
+    back = imgio.convert_colour(enc, "powed", "scene_linear")
+    np.testing.assert_allclose(back, v, atol=2e-3)
