@@ -21,8 +21,9 @@ matrix/primaries-based configs:
 - ``BuiltinTransform`` for the ACES config registry styles: the
   camera "*_to_ACES2065-1" family (ARRI LogC3/LogC4, Sony S-Log3
   S-Gamut3/.Cine, Canon CLog2, Panasonic V-Log, RED Log3G10, the
-  ACEScc/cct/cg trio), curve-only styles, and the CIE-XYZ-D65
-  display hub - resolved through io/colour.py's derived-matrix
+  ACEScc/cct/cg trio), curve-only styles, the CIE-XYZ-D65 display
+  hub, and the SDR ACES Output Transforms (RRT + 48-nit ODT,
+  io/aces.py) - resolved through io/colour.py's derived-matrix
   spaces
 - ``GradingPrimaryTransform`` (log / linear / video styles, RGBM
   controls, pivots, saturation, clamp) with exact inverses
@@ -364,6 +365,16 @@ def _builtin_fn(style: str, inv: bool, name: str) -> _F:
                               ).astype(np.float32)
         return lambda a: np.asarray(
             enc((a @ minv.T).astype(np.float32)), np.float32)
+    if style.startswith("ACES-OUTPUT - ACES2065-1_TO_CIE-XYZ-D65"):
+        surround = ("dark" if "SDR-CINEMA" in style
+                    else "dim" if "SDR-VIDEO" in style else None)
+        if surround is not None:
+            if inv:
+                raise OcioError(
+                    f"{name}: the ACES output transform is forward "
+                    "only (tone mapping is not invertible here)")
+            from . import aces as AC
+            return lambda a: AC.output_transform_sdr(a, surround)
     legacy = _BUILTIN_STYLES.get(style)
     if legacy is not None:
         if inv:

@@ -522,3 +522,61 @@ def test_ocio_inverse_lut3d(tmp_path, monkeypatch):
     enc = imgio.convert_colour(v, "lin", "powed")
     back = imgio.convert_colour(enc, "powed", "scene_linear")
     np.testing.assert_allclose(back, v, atol=2e-3)
+
+
+def test_aces_output_transform(tmp_path, monkeypatch):
+    """ACES SDR output transform: published tonescale knots are hit
+    exactly, 18% grey lands at the canonical ~0.10 display-linear Y
+    with D65 chromaticity, exposure stays monotone, and the builtin
+    style composes with the display encode in a config."""
+    import textwrap
+
+    from envutil_tpu.io import aces, imgio, ocio
+
+    # tonescale anchors (Tonescales.ctl knot points)
+    np.testing.assert_allclose(aces.rrc_tonescale(0.18), 4.8,
+                               rtol=1e-9)
+    np.testing.assert_allclose(aces.rrc_tonescale(0.18 * 2.0 ** -15),
+                               1e-4, rtol=1e-9)
+    np.testing.assert_allclose(aces.rrc_tonescale(0.18 * 2.0 ** 18),
+                               1e4, rtol=1e-9)
+    mid = aces.rrc_tonescale(0.18)
+    np.testing.assert_allclose(aces.odt48_tonescale(mid), 4.8,
+                               rtol=1e-9)
+
+    grey = np.full((1, 3), 0.18)
+    xyz = aces.output_transform_sdr(grey, "dim")
+    y = float(xyz[0, 1])
+    assert 0.095 < y < 0.112, y
+    s = float(xyz.sum())
+    np.testing.assert_allclose([xyz[0, 0] / s, xyz[0, 1] / s],
+                               [0.3127, 0.3290], atol=2e-3)
+
+    ex = np.stack([np.full(3, 0.18 * 2.0 ** k)
+                   for k in np.linspace(-8, 8, 33)])
+    ys = aces.output_transform_sdr(ex, "dim")[:, 1]
+    assert np.all(np.diff(ys) >= -1e-7)
+    assert ys[-1] > 0.99 and ys[0] < 1e-4
+
+    cfg = tmp_path / "view.ocio"
+    cfg.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        roles: {scene_linear: ACES2065-1}
+        colorspaces:
+          - name: ACES2065-1
+          - name: sRGB - Display (ACES)
+            aliases: [srgb_view]
+            from_scene_reference: !<GroupTransform>
+              children:
+                - !<BuiltinTransform> {style: ACES-OUTPUT - ACES2065-1_to_CIE-XYZ-D65 - SDR-VIDEO_1.0}
+                - !<BuiltinTransform> {style: DISPLAY - CIE-XYZ-D65_to_sRGB}
+        """))
+    monkeypatch.setenv("OCIO", str(cfg))
+    ocio._CACHE.clear()
+    out = imgio.convert_colour(np.full((1, 1, 3), 0.18, np.float32),
+                               "scene_linear", "srgb_view")
+    # the canonical ACES look: mid grey displays near 0.35 sRGB
+    assert 0.32 < float(out[..., 1]) < 0.38, out
+    # inverse direction refuses loudly
+    with pytest.raises(ValueError, match="forward only"):
+        imgio.convert_colour(out, "srgb_view", "scene_linear")
