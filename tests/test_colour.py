@@ -576,7 +576,7 @@ def test_aces_output_transform(tmp_path, monkeypatch):
     out = imgio.convert_colour(np.full((1, 1, 3), 0.18, np.float32),
                                "scene_linear", "srgb_view")
     # the canonical ACES look: mid grey displays near 0.35 sRGB
-    assert 0.32 < float(out[..., 1]) < 0.38, out
+    assert 0.32 < float(out[..., 1].ravel()[0]) < 0.38, out
     # inverse direction refuses loudly
     with pytest.raises(ValueError, match="forward only"):
         imgio.convert_colour(out, "srgb_view", "scene_linear")
