@@ -309,7 +309,54 @@ _BUILTIN_XYZ_HUB = {
     "DISPLAY - CIE-XYZ-D65_TO_G2.2-REC.709": (None, ("rec709", "g22")),
     "DISPLAY - CIE-XYZ-D65_TO_DISPLAYP3": (None, ("p3d65", "srgb")),
     "DISPLAY - CIE-XYZ-D65_TO_G2.6-P3-D65": (None, ("p3d65", "g26")),
+    "DISPLAY - CIE-XYZ-D65_TO_REC.2100-PQ": (None, ("rec2020", "pq")),
+    "DISPLAY - CIE-XYZ-D65_TO_REC.2100-HLG": (None,
+                                              ("rec2020", "hlg")),
+    "DISPLAY - CIE-XYZ-D65_TO_ST2084-P3-D65": (None, ("p3d65", "pq")),
 }
+
+# SMPTE ST 2084 (PQ) constants; display linear 1.0 == 100 cd/m2 (the
+# OCIO display-style convention), PQ codes absolute 0..10000 cd/m2
+_PQ_M1 = 2610.0 / 16384.0
+_PQ_M2 = 2523.0 / 4096.0 * 128.0
+_PQ_C1 = 3424.0 / 4096.0
+_PQ_C2 = 2413.0 / 4096.0 * 32.0
+_PQ_C3 = 2392.0 / 4096.0 * 32.0
+
+
+def _pq_encode(v):
+    y = np.clip(np.asarray(v, np.float64) * 100.0 / 10000.0, 0.0, 1.0)
+    ym = y ** _PQ_M1
+    return (((_PQ_C1 + _PQ_C2 * ym) / (1.0 + _PQ_C3 * ym)) ** _PQ_M2
+            ).astype(np.float32)
+
+
+def _pq_decode(v):
+    e = np.clip(np.asarray(v, np.float64), 0.0, 1.0) ** (1.0 / _PQ_M2)
+    y = (np.maximum(e - _PQ_C1, 0.0) / (_PQ_C2 - _PQ_C3 * e)) \
+        ** (1.0 / _PQ_M1)
+    return (y * 10000.0 / 100.0).astype(np.float32)
+
+
+# ITU-R BT.2100 HLG (scene-referred OETF form; display linear 1.0 maps
+# to HLG signal 1.0)
+_HLG_A = 0.17883277
+_HLG_B = 1.0 - 4.0 * _HLG_A
+_HLG_C = 0.5 - _HLG_A * math.log(4.0 * _HLG_A)
+
+
+def _hlg_encode(v):
+    v = np.clip(np.asarray(v, np.float64), 0.0, None)
+    lo = np.sqrt(3.0 * v)
+    hi = _HLG_A * np.log(np.maximum(12.0 * v - _HLG_B, 1e-10)) + _HLG_C
+    return np.where(v <= 1.0 / 12.0, lo, hi).astype(np.float32)
+
+
+def _hlg_decode(v):
+    v = np.asarray(v, np.float64)
+    lo = (v * v) / 3.0
+    hi = (np.exp((v - _HLG_C) / _HLG_A) + _HLG_B) / 12.0
+    return np.where(v <= 0.5, lo, hi).astype(np.float32)
 
 # legacy loose names kept from the first version of this module:
 # decode-to-linear only (no reference-space hop)
@@ -356,6 +403,10 @@ def _builtin_fn(style: str, inv: bool, name: str) -> _F:
         if transfer == "g26":
             enc = lambda v: np.sign(v) * np.abs(v) ** (1.0 / 2.6)
             dec = lambda v: np.sign(v) * np.abs(v) ** 2.6
+        elif transfer == "pq":
+            dec, enc = _pq_decode, _pq_encode
+        elif transfer == "hlg":
+            dec, enc = _hlg_decode, _hlg_encode
         else:
             dec, enc = CL._TRANSFERS[transfer]
         if inv:

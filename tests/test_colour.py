@@ -580,3 +580,33 @@ def test_aces_output_transform(tmp_path, monkeypatch):
     # inverse direction refuses loudly
     with pytest.raises(ValueError, match="forward only"):
         imgio.convert_colour(out, "srgb_view", "scene_linear")
+
+
+def test_ocio_pq_hlg_display_styles():
+    """HDR display encodes: ST 2084 (PQ) and BT.2100 HLG hit the
+    published anchor points and round-trip through the display hub."""
+    from envutil_tpu.io import ocio
+
+    # PQ: 100 nits (display-linear 1.0) encodes to ~0.5081; peak is 1
+    np.testing.assert_allclose(float(ocio._pq_encode(1.0)), 0.5080784,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(ocio._pq_encode(100.0)), 1.0,
+                               atol=1e-9)
+    # HLG: the 1/12 breakpoint encodes to exactly 0.5, peak to 1
+    np.testing.assert_allclose(float(ocio._hlg_encode(1.0 / 12.0)),
+                               0.5, atol=1e-9)
+    np.testing.assert_allclose(float(ocio._hlg_encode(1.0)), 1.0,
+                               atol=1e-7)
+
+    rgb = RNG.uniform(0.02, 0.9, (16, 3)).astype(np.float32)
+    m = C.rgb_to_xyz_matrix(*C._PRIMARIES["rec2020"]).astype(np.float32)
+    xyz = rgb @ m.T
+    for style in ("DISPLAY - CIE-XYZ-D65_to_REC.2100-PQ",
+                  "DISPLAY - CIE-XYZ-D65_to_REC.2100-HLG",
+                  "DISPLAY - CIE-XYZ-D65_to_ST2084-P3-D65"):
+        f = ocio._builtin_fn(style, False, "t")
+        g = ocio._builtin_fn(style, True, "t")
+        out = f(xyz)
+        if "P3" not in style:
+            np.testing.assert_allclose(g(out), xyz, rtol=2e-4,
+                                       atol=1e-5, err_msg=style)
