@@ -19,14 +19,17 @@ Configs (BASELINE.md / BASELINE.json):
       lens correction, and a 3-bracket Eev HDR merge - all through
       the one-jit multi-facet frame
 
-Latest sweep on one TPU v5e chip (2026-08-17 round 2, complete
-frames, all configs 100% fused - exact face-boundary merge passes +
-masked-merge facet-edge tiles + inline-coordinates kernels):
-16K/16-tap exact 32, 16K --twine_pyramid 335 (10.5x), 4K bilinear
-918, 8K/4-tap twine 333, 3-facet 856 (now 100% fused, was 90-92%),
-biatan6->stereo 313*, cubemap->equirect 450*, biatan6->fisheye 336*
-(* = before the merge row-block skip landed; rerun pending),
-headline 8K equirect->cubemap 1745 (bench.py, inline-coords kernel).
+Latest sweep on one TPU v5e chip (2026-08-19 round 2, complete
+frames, all configs 100% fused - union-tap twined kernels + merge
+row-block skip + exact face-boundary merge passes + masked-merge
+facet-edge tiles + inline-coordinates kernels):
+16K/16-tap exact 184.8 (was 32 before union-tap), 16K
+--twine_pyramid 493.9, 4K bilinear 972, 8K/4-tap twine 485.8 (was
+333), 3-facet 881.8, 6-facet + lens 545.2, 6-facet 4-tap twined
+stitch 272.3 (champion-stable), biatan6->stereo 364.2,
+cubemap->equirect 489.3, biatan6->fisheye 383.0, HDR merge 710.6,
+headline 8K equirect->cubemap 2181.5 (bench.py, inline-coords kernel
++ donated-canvas steady state; 2119.9 fresh-canvas).
 Round-1 numbers for comparison: headline 1532, 4K 893,
 biatan6->stereo 527 (forced-face approximation, 33.9 dB vs XLA on
 face-boundary tiles - now exact at 98.8 dB).
