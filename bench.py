@@ -33,6 +33,9 @@ REFERENCE_CPU_MPIX_S = 80.0
 
 
 def main():
+    from envutil_tpu.runtime.platform import ensure_backend
+
+    ensure_backend()
     import jax
     import jax.numpy as jnp
 

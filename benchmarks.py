@@ -72,6 +72,9 @@ def _report(name, mpix_s, extra=""):
 
 
 def main():
+    from envutil_tpu.runtime.platform import ensure_backend
+
+    ensure_backend()
     import jax
     import jax.numpy as jnp
 

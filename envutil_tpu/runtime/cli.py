@@ -19,7 +19,11 @@ import time
 from typing import List
 
 # this image's plugin force-sets jax_platforms (the JAX_PLATFORMS env
-# var is ignored); ENVUTIL_PLATFORM provides an explicit override
+# var is ignored); ENVUTIL_PLATFORM provides an explicit override, and
+# ensure_backend() (called in main) survives the tunnel plugin's
+# intermittent re-registration under a different backend name
+from .platform import ensure_backend
+
 if os.environ.get("ENVUTIL_PLATFORM"):
     import jax
 
@@ -150,6 +154,7 @@ def core(argv: List[str], tethered: bool = False) -> int:
 
 
 def main(argv: List[str] | None = None) -> int:
+    ensure_backend()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[-1] == "++":
         from .visor import render_loop as visor_loop

@@ -27,6 +27,9 @@ def psnr(a, b):
 
 
 def main():
+    from envutil_tpu.runtime.platform import ensure_backend
+
+    ensure_backend()
     import jax
     import jax.numpy as jnp
 
