@@ -264,8 +264,10 @@ def _log_camera_fn(spec: dict, invert: bool) -> _F:
 #  * curve-only styles ("CURVE - ...-LOG_to_LINEAR").
 #
 # Styles not in the tables raise OcioError naming the style (loud, not
-# silent). ADX10/ADX16 (film densitometry) and the tone-mapped output
-# transforms (ACES Output Transforms) are intentionally absent.
+# silent). The SDR ACES Output Transforms (RRT + 48-nit ODT) live in
+# io/aces.py; ADX10/ADX16 (film densitometry) and the SSTS-based HDR
+# Output Transforms are intentionally absent (their CTL constants are
+# not verifiable in this image).
 
 # style -> colour.py space name; forward = that space -> ACES2065-1
 _BUILTIN_TO_ACES = {

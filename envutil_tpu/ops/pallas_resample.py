@@ -736,7 +736,7 @@ def resample_planar(coeff: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, o: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((nch, TILE_H, TILE_W),
                                lambda i, j, o: (0, i, j),
@@ -956,7 +956,7 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         # output tile (and aliased to the output), so the kernel can
         # read the prior contents it merges over
         in_specs = [in_block, in_block, in_block,
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(
                         (nch, TILE_H, TILE_W),
                         lambda t, o: (0, o[t * stride + 2],
@@ -967,8 +967,8 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         alias = {5: 0}
     else:
         in_specs = [in_block, in_block,
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.ANY)]
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY)]
         operands = (tiles.reshape(-1), sx, sy, coeff, canvas)
         alias = {4: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1203,8 +1203,8 @@ def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1381,8 +1381,8 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1603,7 +1603,7 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
     merge = merge_mask is not None
     if merge:
         in_specs = ([in_block] * 7
-                    + [pl.BlockSpec(memory_space=pltpu.ANY),
+                    + [pl.BlockSpec(memory_space=pl.ANY),
                        pl.BlockSpec(
                            (nch, TILE_H, TILE_W),
                            lambda t, o, s: (0, o[t * stride + 2],
@@ -1614,8 +1614,8 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
         alias = {10: 0}
     else:
         in_specs = ([in_block] * 6
-                    + [pl.BlockSpec(memory_space=pltpu.ANY),
-                       pl.BlockSpec(memory_space=pltpu.ANY)])
+                    + [pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)])
         operands = (tiles.reshape(-1), spread, sx, sy, dux, duy, dvx,
                     dvy, coeff, canvas)
         alias = {9: 0}
@@ -1804,7 +1804,7 @@ def resample_twined(coeff, sx, sy, dux, duy, dvx, dvy, origins,
         grid=(nty, ntx),
         in_specs=[pl.BlockSpec((TILE_H, TILE_W), tile,
                                memory_space=pltpu.VMEM)] * 6
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((nch, TILE_H, TILE_W),
                                lambda i, j, o, s: (0, i, j),
                                memory_space=pltpu.VMEM),

@@ -161,7 +161,9 @@ def ring_spline_eval(spl: S.Spline2D, x, y, mesh: Mesh,
         acc0 = jnp.zeros(xl.shape + (ch,), jnp.float32)
         # the loop carry becomes device-varying after the first
         # ppermute; mark the initial carry accordingly
-        if hasattr(jax.lax, "pvary"):
+        if hasattr(jax.lax, "pcast"):
+            acc0 = jax.lax.pcast(acc0, (axis,), to="varying")
+        elif hasattr(jax.lax, "pvary"):
             acc0 = jax.lax.pvary(acc0, (axis,))
         acc, _ = jax.lax.fori_loop(0, nd, body, (acc0, band))
         return acc
