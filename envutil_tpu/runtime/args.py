@@ -92,6 +92,7 @@ class Args(Facet):
     mask_for: int = -1
     out_brighten: float = 1.0
     mesh: int = 0
+    shard_table: bool = False
 
     @property
     def nfacets(self) -> int:
@@ -282,6 +283,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="shard the render over N devices (output rows "
                          "split over a jax.sharding.Mesh, sources "
                          "replicated); 0 = single device")
+    ap.add_argument("--shard_table", action="store_true",
+                    help="with --mesh: row-band-shard the facet "
+                         "coefficient tables over the mesh and "
+                         "evaluate through a ppermute ring (for "
+                         "sources too large for one chip's HBM)")
     ap.add_argument("--solo", type=int, default=-1)
     ap.add_argument("--mask_for", type=int, default=-1)
     ap.add_argument("--nchannels", type=int, default=0)
@@ -531,6 +537,7 @@ def parse_args(argv: List[str]) -> Args:
     args.tile_size = ns.tile_size
     args.out_brighten = ns.brighten
     args.mesh = ns.mesh
+    args.shard_table = ns.shard_table
 
     if args.prefilter_degree < 0:
         args.prefilter_degree = args.spline_degree

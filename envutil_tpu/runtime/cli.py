@@ -94,7 +94,8 @@ def _run_job(args) -> None:
             amplify = 1.0 / b
 
     img = render_frame(plan, active, verbose=args.verbose,
-                       amplify=amplify, mesh_n=args.mesh)
+                       amplify=amplify, mesh_n=args.mesh,
+                       shard_table=args.shard_table)
     rt_cumulated += render_frame.last_ms
 
     if args.mask_for != -1 and img.shape[-1] == 2:

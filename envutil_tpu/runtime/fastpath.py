@@ -881,7 +881,7 @@ _FRAME_CACHE = {}
 def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                    fi: int = 0, nch_out=None, brighten=None,
                    spread=None, pertap: bool = False, exclude=None,
-                   finish: str = "image"):
+                   finish: str = "image", preplanned=None):
     """Build the one-jit fused frame for a solo render: per-pass
     coordinates restricted to the pass's tile bounding box, compact
     per-tile kernel grids writing into one donated canvas, and a
@@ -921,10 +921,18 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     caller; ``assigned == ZERO_PASS`` tiles are genuinely empty."""
     # pertap frames use masked-merge too, but their kernel masks come
     # from the caller's per-tap deflected validity (st["tap_mask"] in
-    # frame() below) rather than the undeflected coverage
-    passes, assigned = plan_passes(plan, src, window, classes, fi,
-                                   spread, exclude=exclude,
-                                   want_union=not pertap)
+    # frame() below) rather than the undeflected coverage.
+    # ``preplanned`` short-circuits the planner with an externally
+    # prepared (passes, assigned) pair - the --mesh fast path plans
+    # once globally and slices per band (split_passes_by_bands), so
+    # every tile keeps the same (variant, class, origins) treatment
+    # on any band decomposition.
+    if preplanned is not None:
+        passes, assigned = preplanned
+    else:
+        passes, assigned = plan_passes(plan, src, window, classes, fi,
+                                       spread, exclude=exclude,
+                                       want_union=not pertap)
     geom = _geom_static(plan)
     nch_out = plan.nchannels if nch_out is None else nch_out
     brighten = src.static.brighten if brighten is None else brighten
@@ -1117,10 +1125,10 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
 def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                 fi: int = 0, nch_out=None, brighten=None,
                 spread=None, pertap: bool = False, exclude=None,
-                finish: str = "image"):
+                finish: str = "image", preplanned=None):
     frame, state, assigned, passes, key = _frame_builder(
         plan, src, window, classes, fi, nch_out, brighten, spread,
-        pertap, exclude=exclude, finish=finish)
+        pertap, exclude=exclude, finish=finish, preplanned=preplanned)
     fn = _FRAME_CACHE.get(key)
     if fn is None:
         if finish == "reuse":
@@ -1527,6 +1535,126 @@ def render_fast(plan, sources, render_window_fn=None,
             _bad_origins(bad), src.spl.degree, plan.nchannels,
             src.static.brighten)
     img = np.array(jax.device_get(combined), np.float32)
+    return img[:out_h, :out_w]
+
+
+def split_passes_by_bands(passes, assigned, n_bands: int):
+    """Slice a globally planned pass structure into ``n_bands``
+    horizontal tile-row bands. Every tile keeps exactly the treatment
+    the global plan gave it - same variant, window class, source-window
+    origin and per-row-block candidate origins (those live in the tile
+    rows and are sliced along) - so a band-decomposed render is
+    bit-equal to the single-device fused frame. Per-band pass boxes are
+    re-derived as the bounding box of the band's tiles; the coordinate
+    passes are window-absolute, so re-boxing changes which pixels are
+    computed, never their values.
+
+    Returns a list of (passes_b, assigned_b) pairs; assigned_b's pass
+    indices are band-local (empty passes dropped)."""
+    nty, ntx = assigned.shape
+    assert nty % n_bands == 0, (nty, n_bands)
+    bh = nty // n_bands
+    out = []
+    for b in range(n_bands):
+        ty0, ty1 = b * bh, (b + 1) * bh
+        a = assigned[ty0:ty1]
+        a2 = a.copy()
+        passes_b = []
+        for pi, (name, wc, _box, tiles, merge) in enumerate(passes):
+            sel = (tiles[:, 2] >= ty0) & (tiles[:, 2] < ty1)
+            if not sel.any():
+                assert not (a == pi).any()
+                continue
+            t = tiles[sel].copy()
+            t[:, 2] -= ty0
+            nb = (int(t[:, 2].min()), int(t[:, 2].max()) + 1,
+                  int(t[:, 3].min()), int(t[:, 3].max()) + 1)
+            t[:, 0] = t[:, 2] - nb[0]
+            t[:, 1] = t[:, 3] - nb[2]
+            a2[a == pi] = len(passes_b)
+            passes_b.append((name, wc, nb, t, merge))
+        out.append((passes_b, a2))
+    return out
+
+
+def render_fast_mesh(plan, sources, mesh_n: int, verbose: bool = False,
+                     classes=DEFAULT_CLASSES) -> Optional[np.ndarray]:
+    """--mesh N through the FUSED kernel: the same Pallas pass
+    structure the single-device fast path runs, planned once over the
+    whole frame and dispatched per output-row band, each band's frame
+    on its own device - the reference's thread-pool tile decomposition
+    (wielding.h:270-451) ridden on the device mesh with zero
+    communication (sources replicated per device). Per-tile treatment
+    is identical to single-device (split_passes_by_bands), so the
+    composite is bit-equal to render_fast; XLA-fallback tiles are
+    patched per band on the band's device. Returns None when the
+    configuration can't band-decompose (caller falls back to the XLA
+    sharded render)."""
+    if plan.spread is not None or len(sources) != 1 \
+            or not eligible(plan, sources):
+        return None
+    src = sources[0]
+    devices = jax.devices()
+    if len(devices) < mesh_n:
+        return None
+    if plan.crop is not None:
+        y0, y1, x0, x1 = plan.crop
+    else:
+        y0, y1, x0, x1 = 0, plan.height, 0, plan.width
+    out_h, out_w = y1 - y0, x1 - x0
+    ph = _round_up(out_h, PR.TILE_H)
+    pw = _round_up(out_w, PR.TILE_W)
+    nty = ph // PR.TILE_H
+    if nty % mesh_n != 0:
+        if verbose:
+            print(f"--mesh {mesh_n}: {nty} tile rows don't split into "
+                  f"{mesh_n} bands; using the XLA sharded render")
+        return None
+    window = (y0, y0 + ph, x0, x0 + pw)
+
+    passes, assigned = plan_passes(plan, src, window, classes)
+    n_fast = int((assigned >= 0).sum())
+    if n_fast == 0:
+        return None
+    if verbose:
+        used = {}
+        for pi, (name, wc, _box, _o, _m) in enumerate(passes):
+            k = f"{name}/{wc.name}"
+            used[k] = used.get(k, 0) + int((assigned == pi).sum())
+        print(f"fastpath(mesh): {n_fast}/{assigned.size} tiles fused "
+              f"({', '.join(f'{k}:{v}' for k, v in used.items() if v)})"
+              f" over {mesh_n} devices")
+
+    geom = _geom_static(plan)
+    band_rows = ph // mesh_n
+    bands = split_passes_by_bands(passes, assigned, mesh_n)
+    outs = []
+    for k, (passes_b, a_b) in enumerate(bands):
+        wb = (window[0] + k * band_rows,
+              window[0] + (k + 1) * band_rows, window[2], window[3])
+        frame_fn, state, a2, _p = fused_frame(
+            plan, src, wb, classes, preplanned=(passes_b, a_b))
+        state_k = jax.device_put(state, devices[k])
+        eps_k = jax.device_put(jnp.float32(0), devices[k])
+        img_b = frame_fn(state_k, eps_k)
+        bad = np.argwhere(a_b == -1)
+        if bad.size:
+            if verbose:
+                print(f"fastpath(mesh): band {k}: {len(bad)} tiles "
+                      "via XLA fallback")
+            src_k = state_k["src"]
+            sx0, sy0, mask0, _z = _coords(geom, wb, "orig", src_k, 0,
+                                          (0.0, 0.0),
+                                          state_k["basis"])
+            img_b = _patch_tiles_batch(
+                img_b, src_k.spl.coeff, sx0, sy0, mask0,
+                jax.device_put(_bad_origins(bad), devices[k]),
+                src.spl.degree, plan.nchannels, src.static.brighten)
+        outs.append(img_b)
+
+    img = np.concatenate(
+        [np.asarray(jax.device_get(o), np.float32) for o in outs],
+        axis=0)
     return img[:out_h, :out_w]
 
 

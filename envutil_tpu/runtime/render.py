@@ -239,7 +239,8 @@ def _compiled_window(plan: RenderPlan, window) -> Callable:
 def render_frame(plan: RenderPlan, sources: List[E.FacetSource],
                  verbose: bool = False,
                  amplify: Optional[float] = None,
-                 mesh_n: int = 0) -> np.ndarray:
+                 mesh_n: int = 0,
+                 shard_table: bool = False) -> np.ndarray:
     """Run a frame: possibly in row strips (memory bound), returns the
     host-side (H, W, C) float32 array. Timing is reported like the
     reference's 'frame rendering time' (envutil_payload.cc:546-557).
@@ -250,12 +251,16 @@ def render_frame(plan: RenderPlan, sources: List[E.FacetSource],
     many devices (sources replicated, zero-communication SPMD - the
     reference's thread-pool tile decomposition ridden on the device
     mesh); falls back to single-device when the device count or the
-    output height doesn't permit it."""
+    output height doesn't permit it. ``shard_table`` (the
+    --shard_table option, with --mesh) row-band-shards the facet
+    coefficient tables themselves over the mesh and evaluates through
+    the ppermute ring - the >HBM-table scaling path
+    (parallel/mesh.ring_sharded_render)."""
     from . import fastpath
 
     if mesh_n and mesh_n > 1:
         img = _render_frame_mesh(plan, sources, mesh_n, verbose,
-                                 amplify)
+                                 amplify, shard_table)
         if img is not None:
             return img
 
@@ -316,9 +321,12 @@ render_frame.last_ms = 0.0
 
 
 def _render_frame_mesh(plan: RenderPlan, sources, mesh_n: int,
-                       verbose: bool, amplify) -> Optional[np.ndarray]:
+                       verbose: bool, amplify,
+                       shard_table: bool = False
+                       ) -> Optional[np.ndarray]:
     """--mesh N: output rows sharded over an N-device mesh, sources
-    replicated. Returns None (with a warning) when the configuration
+    replicated (or, with --shard_table, row-band-sharded and ring-
+    evaluated). Returns None (with a warning) when the configuration
     can't shard - the caller falls back to the single-device paths."""
     from ..parallel import mesh as PM
 
@@ -335,7 +343,48 @@ def _render_frame_mesh(plan: RenderPlan, sources, mesh_n: int,
         return None
 
     start = time.perf_counter()
+    if not shard_table:
+        # fused Pallas path per output-row band (each band's frame on
+        # its own device) - the per-chip kernel throughput the
+        # single-device fast path gets, scaled out with zero
+        # communication. Bit-equal to the single-device fused render.
+        from . import fastpath
+        img = fastpath.render_fast_mesh(plan, sources, mesh_n,
+                                        verbose=verbose)
+        if img is not None:
+            if amplify is not None:
+                img = np.asarray(
+                    E.apply_brighten(jnp.asarray(img), amplify),
+                    np.float32)
+            msec = (time.perf_counter() - start) * 1000.0
+            if verbose:
+                n_px = img.shape[0] * img.shape[1]
+                print(f"frame rendering time: {msec:.1f} ms "
+                      f"({n_px / 1e6 / (msec / 1000.0):.1f} Mpix/s, "
+                      f"{mesh_n} devices, fused kernel)")
+            render_frame.last_ms = msec
+            return img
     mesh = PM.make_mesh(devices[:mesh_n])
+    if shard_table:
+        if not PM.shard_table_eligible(plan, sources):
+            print("--shard_table: job not eligible (twining or "
+                  "masking); rendering with replicated tables",
+                  flush=True)
+        else:
+            srcs = PM.shard_sources(sources, mesh)
+            fn = PM.ring_sharded_render(plan, srcs, mesh)
+            out = fn(srcs)
+            if amplify is not None:
+                out = E.apply_brighten(out, amplify)
+            img = np.asarray(jax.device_get(out), np.float32)
+            msec = (time.perf_counter() - start) * 1000.0
+            if verbose:
+                n_px = img.shape[0] * img.shape[1]
+                print(f"frame rendering time: {msec:.1f} ms "
+                      f"({n_px / 1e6 / (msec / 1000.0):.1f} Mpix/s, "
+                      f"{mesh_n} devices, ring-sharded tables)")
+            render_frame.last_ms = msec
+            return img
     srcs = PM.replicate_sources(sources, mesh)
     fn = PM.sharded_render(plan, srcs, mesh)
     out = fn(srcs)

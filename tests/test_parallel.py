@@ -115,5 +115,130 @@ def test_ring_spline_eval_exact(degree):
     sharded = shard_spline_rows(spl, mesh)
     out = ring_spline_eval(sharded, x, y, mesh)
     assert len(out.sharding.device_set) == 8
+    # per-tap carry slots reduced in ascending-j order: same taps,
+    # same weights, same summation order as eval_spline - equal to
+    # within XLA's per-program FMA contraction (<= 2 ulp)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5)
+                               rtol=4e-7, atol=4e-7)
+
+
+def _plan_for(fcts, projection=Projection.RECTILINEAR, wh=(64, 64),
+              hfov_deg=80.0, yaw_deg=30.0, degree=3, nch=3,
+              synopsis="panorama"):
+    args = Args()
+    args.projection = projection
+    args.width, args.height = wh
+    args.hfov = math.radians(hfov_deg)
+    args.extent = get_extent(projection, wh[0], wh[1], args.hfov)
+    args.step = (args.extent.x1 - args.extent.x0) / wh[0]
+    args.yaw = math.radians(yaw_deg)
+    args.spline_degree = args.prefilter_degree = degree
+    args.twine = 0
+    args.synopsis = synopsis
+    args.nchannels = nch
+    args.facets = fcts
+    args.solo = 0 if len(fcts) == 1 else -1
+    return build_plan(args, fcts)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_sharded_render_solo_bit_equal():
+    """--shard_table end-to-end: a job rendering from a row-band-
+    sharded coefficient table equals the replicated render to within
+    FMA-contraction ulps (tiles.h:354-1337 wired as get_t/put_t)."""
+    from envutil_tpu.parallel.mesh import (ring_sharded_render,
+                                           shard_sources)
+    from envutil_tpu.runtime.render import _render_window
+
+    img = RNG.uniform(0, 1, (96, 192, 3)).astype(np.float32)
+    fct = _make(Projection.SPHERICAL, 192, 96, 2 * math.pi)
+    src = E.make_mount_source(fct, img, 3, 3)
+    plan = _plan_for([fct])
+
+    # jitted reference (the production path always jits; eager
+    # execution differs from any compiled program by ~1e-5 through
+    # XLA transcendental fusion)
+    ref = np.asarray(jax.jit(
+        lambda s: _render_window(plan, s, None))([src]), np.float32)
+
+    mesh = make_mesh(jax.devices()[:8])
+    srcs = shard_sources([src], mesh)
+    assert len(srcs[0].spl.coeff.sharding.device_set) == 8
+    out = jax.block_until_ready(ring_sharded_render(plan, srcs,
+                                                    mesh)(srcs))
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=4e-7, atol=4e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_sharded_render_multi_facet():
+    """Voronoi stitch from two ring-sharded facets matches the
+    replicated synopsis (same arithmetic; <= 2 ulp FMA residual)."""
+    from envutil_tpu.parallel.mesh import (ring_sharded_render,
+                                           shard_sources)
+    from envutil_tpu.runtime.render import _render_window
+
+    fcts, srcs0 = [], []
+    for i, yaw in enumerate((-15.0, 15.0)):
+        img = RNG.uniform(0, 1, (80, 112, 3)).astype(np.float32)
+        f = Facet(facet_no=i, nchannels=3)
+        f.set_geometry(Projection.RECTILINEAR, 112, 80,
+                       math.radians(70))
+        f.step = get_step(Projection.RECTILINEAR, 112, 80,
+                          math.radians(70))
+        f.yaw = math.radians(yaw)
+        f.process_geometry()
+        fcts.append(f)
+        srcs0.append(E.make_mount_source(f, img, 3, 3))
+    plan = _plan_for(fcts, hfov_deg=60.0, yaw_deg=0.0)
+
+    ref = np.asarray(jax.jit(
+        lambda s: _render_window(plan, s, None))(srcs0), np.float32)
+
+    mesh = make_mesh(jax.devices()[:8])
+    srcs = shard_sources(srcs0, mesh)
+    out = jax.block_until_ready(ring_sharded_render(plan, srcs,
+                                                    mesh)(srcs))
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=4e-7, atol=4e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_render_fast_mesh_bit_equal_single_device(monkeypatch):
+    """--mesh through the FUSED kernel (interpreter mode): the pass
+    structure is planned once globally and dispatched per output-row
+    band on its own device, so the composite must be bit-equal to the
+    single-device fused render (same kernels on the same tiles).
+    Degree 1 + the TIGHT ladder keep the interpreter compiles ~25s."""
+    from envutil_tpu.ops import pallas_resample as PR
+    from envutil_tpu.runtime import fastpath
+
+    monkeypatch.setattr(PR, "FORCE_INTERPRET", True)
+
+    img = RNG.uniform(0, 1, (128, 256, 3)).astype(np.float32)
+    fct = _make(Projection.SPHERICAL, 256, 128, 2 * math.pi)
+    src = E.make_mount_source(fct, img, 1, 1)
+    plan = _plan_for([fct], wh=(128, 256), hfov_deg=90.0,
+                     yaw_deg=10.0, degree=1)
+
+    single = fastpath.render_fast(plan, [src], classes=(PR.TIGHT,))
+    assert single is not None
+    meshed = fastpath.render_fast_mesh(plan, [src], 2, verbose=True,
+                                       classes=(PR.TIGHT,))
+    assert meshed is not None
+    np.testing.assert_array_equal(meshed, single)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_render_frame_shard_table_option():
+    """render_frame(mesh_n=8, shard_table=True) - the --shard_table
+    CLI path - matches the single-device frame (<= 2 ulp)."""
+    img = RNG.uniform(0, 1, (64, 128, 3)).astype(np.float32)
+    fct = _make(Projection.SPHERICAL, 128, 64, 2 * math.pi)
+    src = E.make_mount_source(fct, img, 3, 3)
+    plan = _plan_for([fct])
+
+    single = render_frame(plan, [src])
+    ringed = render_frame(plan, [src], mesh_n=8, shard_table=True)
+    np.testing.assert_allclose(ringed, single, rtol=4e-7, atol=4e-7)
