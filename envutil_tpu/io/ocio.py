@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -264,10 +265,12 @@ def _log_camera_fn(spec: dict, invert: bool) -> _F:
 #  * curve-only styles ("CURVE - ...-LOG_to_LINEAR").
 #
 # Styles not in the tables raise OcioError naming the style (loud, not
-# silent). The SDR ACES Output Transforms (RRT + 48-nit ODT) live in
-# io/aces.py; ADX10/ADX16 (film densitometry) and the SSTS-based HDR
-# Output Transforms are intentionally absent (their CTL constants are
-# not verifiable in this image).
+# silent). The ACES Output Transforms live in io/aces.py: SDR (RRT +
+# 48-nit ODT, published CTL constants) and the SSTS-based HDR-VIDEO /
+# HDR-CINEMA styles (reconstructed from the published SSTS algorithm;
+# provenance + anchors documented in io/aces.py). ADX10/ADX16 (film
+# densitometry) remain absent: their CID->relative-log-exposure table
+# is published only as data (S-2014-006) unobtainable in this image.
 
 # style -> colour.py space name; forward = that space -> ACES2065-1
 _BUILTIN_TO_ACES = {
@@ -428,6 +431,20 @@ def _builtin_fn(style: str, inv: bool, name: str) -> _F:
                     "only (tone mapping is not invertible here)")
             from . import aces as AC
             return lambda a: AC.output_transform_sdr(a, surround)
+        m = re.search(r"HDR-(VIDEO|CINEMA)-(\d+)NIT-([\d.]+)NIT-"
+                      r"(P3|REC2020)LIM", style)
+        if m is not None:
+            if inv:
+                raise OcioError(
+                    f"{name}: the ACES output transform is forward "
+                    "only (tone mapping is not invertible here)")
+            from . import aces as AC
+            y_max = float(m.group(2))
+            y_mid = float(m.group(3))
+            lim = "p3d65" if m.group(4) == "P3" else "rec2020"
+            return lambda a: AC.output_transform_hdr(
+                a, y_min=0.0001, y_mid=y_mid, y_max=y_max,
+                limit_primaries=lim)
     legacy = _BUILTIN_STYLES.get(style)
     if legacy is not None:
         if inv:

@@ -610,3 +610,86 @@ def test_ocio_pq_hlg_display_styles():
         if "P3" not in style:
             np.testing.assert_allclose(g(out), xyz, rtol=2e-4,
                                        atol=1e-5, err_msg=style)
+
+
+def test_aces_hdr_output_transforms(tmp_path, monkeypatch):
+    """SSTS-based ACES 1.1 HDR Output Transforms: anchor points,
+    monotonicity, the independent SDR-parameter agreement anchor, and
+    the OCIO builtin-style integration (HDR-VIDEO PQ view)."""
+    import textwrap
+
+    from envutil_tpu.io import aces, imgio, ocio
+
+    # SSTS anchors: the curve must hit its min/max luminances exactly
+    # and map scene 0.18 to the requested mid luminance (expShift)
+    for (y_min, y_mid, y_max) in ((0.0001, 15.0, 1000.0),
+                                  (0.0001, 15.0, 2000.0),
+                                  (0.0001, 15.0, 4000.0),
+                                  (0.0001, 7.2, 108.0)):
+        p = aces.SstsParams(y_min, y_mid, y_max)
+        np.testing.assert_allclose(float(p(0.18)), y_mid, rtol=1e-6)
+        np.testing.assert_allclose(float(p(1e-10)), y_min, rtol=1e-6)
+        np.testing.assert_allclose(float(p(1e8)), y_max, rtol=1e-6)
+        xs = np.logspace(-6.0, 4.0, 4000)
+        ys = np.asarray(p(xs))
+        assert (np.diff(ys) >= -1e-9).all(), (y_min, y_mid, y_max)
+
+    # independent anchor: at the SDR parameters the SSTS was designed
+    # to stand in for the legacy RRT+ODT composite tone scale - they
+    # must track within ~10% over the SDR stop range (the SSTS is a
+    # 3+3-segment simplification of the 4+7-segment c5/c9 pair)
+    x = 0.18 * 2.0 ** np.linspace(-6.5, 6.5, 400)
+    legacy = aces.odt48_tonescale(aces.rrc_tonescale(x))
+    sdr = aces.SstsParams(0.02, 4.8, 48.0)(x)
+    assert np.abs(np.log10(np.asarray(sdr) / legacy)).max() < 0.05
+
+    # neutral grey passes the sweeteners untouched, so the 1000-nit
+    # transform puts 18% grey at exactly 15 cd/m2 (XYZ hub: 1.0 ==
+    # 100 cd/m2), at the D65 white point
+    grey = np.full((1, 3), 0.18)
+    xyz = aces.output_transform_hdr(grey, 0.0001, 15.0, 1000.0)
+    np.testing.assert_allclose(float(xyz[0, 1]) * 100.0, 15.0,
+                               rtol=1e-5)
+    s = float(xyz.sum())
+    np.testing.assert_allclose([xyz[0, 0] / s, xyz[0, 1] / s],
+                               [0.3127, 0.3290], atol=2e-3)
+    # highlights saturate toward the peak luminance
+    hi = aces.output_transform_hdr(np.full((1, 3), 1e4),
+                                   0.0001, 15.0, 1000.0)
+    assert float(hi[0, 1]) * 100.0 > 990.0
+
+    # OCIO builtin styles: an HDR-VIDEO PQ display view; PQ(15 nits)
+    # is the expected neutral signal level
+    cfg = tmp_path / "hdr.ocio"
+    cfg.write_text(textwrap.dedent("""\
+        ocio_profile_version: 2
+        roles: {scene_linear: ACES2065-1}
+        colorspaces:
+          - name: ACES2065-1
+          - name: Rec.2100-PQ - Display (ACES 1000 nit)
+            aliases: [pq_view]
+            from_scene_reference: !<GroupTransform>
+              children:
+                - !<BuiltinTransform> {style: ACES-OUTPUT - ACES2065-1_to_CIE-XYZ-D65 - HDR-VIDEO-1000nit-15nit-Rec2020lim_1.1}
+                - !<BuiltinTransform> {style: DISPLAY - CIE-XYZ-D65_to_REC.2100-PQ}
+          - name: P3 PQ (ACES 108 nit cinema)
+            aliases: [pq_cinema]
+            from_scene_reference: !<GroupTransform>
+              children:
+                - !<BuiltinTransform> {style: ACES-OUTPUT - ACES2065-1_to_CIE-XYZ-D65 - HDR-CINEMA-108nit-7.2nit-P3lim_1.1}
+                - !<BuiltinTransform> {style: DISPLAY - CIE-XYZ-D65_to_ST2084-P3-D65}
+        """))
+    monkeypatch.setenv("OCIO", str(cfg))
+    ocio._CACHE.clear()
+
+    g = np.full((1, 1, 3), 0.18, np.float32)
+    out = imgio.convert_colour(g, "ACES2065-1", "pq_view")
+    want = float(ocio._pq_encode(np.float32(0.15)))
+    np.testing.assert_allclose(out[..., 1], want, atol=5e-3)
+    outc = imgio.convert_colour(g, "ACES2065-1", "pq_cinema")
+    wantc = float(ocio._pq_encode(np.float32(0.072)))
+    np.testing.assert_allclose(outc[..., 1], wantc, atol=5e-3)
+
+    # forward only: inverting the tone map raises loudly
+    with pytest.raises(ValueError, match="forward only"):
+        imgio.convert_colour(g, "pq_view", "ACES2065-1")
