@@ -98,19 +98,12 @@ def main():
     from envutil_tpu.runtime import fastpath as FP
     from envutil_tpu.runtime.fastpath import fused_frame
     import os as _os
-    from envutil_tpu.ops import pallas_resample as _PR
-    if _os.environ.get("ENVUTIL_FINE_LADDER"):
-        # A/B knob: the general-purpose class ladder (17 classes).
-        # Measured 2026-08-19 on one v5e chip: 2181.5 Mpix/s in 8
-        # passes vs 2259.2 in 4 passes for the coarse ladder below.
-        classes = FP.DEFAULT_CLASSES
-    else:
-        # headline-tuned coarse ladder: fewer, larger classes (all
-        # members of DEFAULT_CLASSES, so per-tile admission exactness
-        # is unchanged) -> half the pallas_call launches per frame
-        classes = (_PR.SHEAR6, _PR.SHEAR_LOCAL, _PR.LOCAL,
-                   _PR.SHEAR_MINIFY, _PR.SHEAR_DIAG, _PR.MINIFY,
-                   _PR.STEEP, _PR.DIAG)
+    # the planner picks the ladder per frame from the planned tile
+    # routing under the gather/DMA/launch cost model - no env knobs
+    # (fastpath.select_classes; the headline selects the coarse
+    # 8-class ladder, measured 2259.2 vs 2181.5 Mpix/s for the
+    # 17-class general ladder, 2026-08-19 A/B on one v5e chip)
+    classes = FP.select_classes(plan, src, window, verbose=True)
     frame_fn, state, assigned, passes = fused_frame(plan, src, window,
                                                     classes)
     frac_fast = (assigned >= 0).mean()

@@ -1053,13 +1053,20 @@ def _gate_const(v, mode: str, lower: float, upper: float):
 
 
 def _inline_coords_rb(xf_ref, yf_ref, bm, sl8, *, tmode: str,
-                      consts: tuple, xi: int = 0, yi: int = 0):
+                      consts: tuple, xi: int = 0, yi: int = 0,
+                      smode: str = "sph"):
     """(sx, sy) padded spline coordinates for one (8, TILE_W)
     row-block, computed from the axis-feature blocks and the per-tile
     3x3 matrix. ``xi``/``yi`` select the feature set (0 = center,
     1 = DERIV_BIAS-biased axis - the twined kernel's derivative
-    grids)."""
-    (kx, cx, ky, cy, gate_x, glx, gux, gate_y, gly, guy, pad) = consts
+    grids). ``smode`` is the SOURCE-side math: "sph" (full-spherical
+    mount: atan2 lon/lat + gates + spline affine) or
+    "cubemap"/"biatan6" (IR pickup: dominant-axis face selection +
+    in-face division + per-face section offset - ray_to_cubeface /
+    get_pickup_coordinate_px in-kernel, geometry.h:1178-1357 /
+    metrics.h:396-440; consts[11] carries section_px)."""
+    (kx, cx, ky, cy, gate_x, glx, gux, gate_y, gly, guy,
+     pad) = consts[:11]
     if tmode == "affine":
         # rect/cubemap/biatan6 targets: ray = B @ (px, py', 1)
         px = xf_ref[xi]
@@ -1084,10 +1091,42 @@ def _inline_coords_rb(xf_ref, yf_ref, bm, sl8, *, tmode: str,
         ry = bm[3] * sl_ + bm[4] * uy + bm[5] * cl_
         rz = bm[6] * sl_ + bm[7] * uy + bm[8] * cl_
 
-    lon = _atan2(rx, rz)
-    lat = _atan2(ry, jnp.sqrt(rx * rx + rz * rz))
-    sx = _gate_const(lon * kx + cx, gate_x, glx, gux) + pad
-    sy = _gate_const(lat * ky + cy, gate_y, gly, guy) + pad
+    if smode == "sph":
+        lon = _atan2(rx, rz)
+        lat = _atan2(ry, jnp.sqrt(rx * rx + rz * rz))
+        sx = _gate_const(lon * kx + cx, gate_x, glx, gux) + pad
+        sy = _gate_const(lat * ky + cy, gate_y, gly, guy) + pad
+        return sx, sy
+
+    # cubemap / biatan6 IR pickup: dominant-axis face + in-face coords
+    # (the same where-cascade as geometry.ray_to_cubeface, so the face
+    # choice is bitwise-consistent with the planner's XLA pass up to
+    # ray ulps; admitted tiles are strictly single-face with >= 1 px
+    # margins, so an ulp-level flip cannot occur there)
+    section_px = consts[11]
+    ax = jnp.abs(rx)
+    ay = jnp.abs(ry)
+    az = jnp.abs(rz)
+    m1 = ax >= ay
+    m2 = ax >= az
+    m3 = ay >= az
+    dom_x = jnp.logical_and(m1, m2)
+    dom_z = jnp.logical_and(jnp.logical_not(m2), jnp.logical_not(m3))
+    safe = lambda d: jnp.where(d == 0.0, 1.0, d)
+    fx = jnp.where(dom_x, -rz / safe(rx),
+                   jnp.where(dom_z, rx / safe(rz), -rx / safe(ay)))
+    fy = jnp.where(dom_x, ry / safe(ax),
+                   jnp.where(dom_z, ry / safe(az), rz / safe(ry)))
+    face = jnp.where(
+        dom_x, jnp.where(rx < 0.0, 0.0, 1.0),
+        jnp.where(dom_z, jnp.where(rz < 0.0, 5.0, 4.0),
+                  jnp.where(ry < 0.0, 2.0, 3.0)))
+    if smode == "biatan6":
+        one = jnp.ones_like(fx)
+        fx = (4.0 / math.pi) * _atan2(fx, one)
+        fy = (4.0 / math.pi) * _atan2(fy, one)
+    sx = fx * kx + cx + pad
+    sy = fy * ky + cy + face * section_px + pad
     return sx, sy
 
 
@@ -1098,7 +1137,8 @@ def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
                         _canvas_ref, out_ref, *scratch,
                         degree: int, wc: WindowClass, nch: int,
                         nt: int, dbuf: bool, unroll: int, stride: int,
-                        tmode: str, consts: tuple):
+                        tmode: str, consts: tuple,
+                        smode: str = "sph"):
     t = pl.program_id(0)
     ext = stride >= TILE_ROW_INTS_EXT
     win = _load_tile_window(tiles_ref, coeff_ref, scratch, t=t,
@@ -1113,7 +1153,8 @@ def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
     def row_body(r, _):
         sl8 = pl.ds(r * 8, 8)
         sx, sy = _inline_coords_rb(xf_ref, yf_ref, bm, sl8,
-                                   tmode=tmode, consts=consts)
+                                   tmode=tmode, consts=consts,
+                                   smode=smode)
         sx = sx + eps - oxf
         sy = sy - oyf
 
@@ -1143,12 +1184,14 @@ def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
 
 @functools.partial(jax.jit, static_argnames=("degree", "wc",
                                              "interpret", "unroll",
-                                             "tmode", "consts"))
+                                             "tmode", "consts",
+                                             "smode"))
 def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                          tiles: jnp.ndarray, faces: jnp.ndarray,
                          xfeat: jnp.ndarray, yfeat: jnp.ndarray,
                          bmats: jnp.ndarray, eps, *, degree: int,
                          tmode: str, consts: tuple,
+                         smode: str = "sph",
                          wc: WindowClass = LOCAL,
                          interpret: bool = False,
                          unroll: bool = False) -> jnp.ndarray:
@@ -1220,7 +1263,7 @@ def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
     kern = functools.partial(_inline_kernel_into, degree=degree,
                              wc=wc, nch=nch, nt=nt, dbuf=dbuf,
                              unroll=unroll, stride=stride,
-                             tmode=tmode, consts=consts)
+                             tmode=tmode, consts=consts, smode=smode)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
@@ -1237,7 +1280,7 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
                                degree: int, wc: WindowClass, nch: int,
                                n_taps: int, nt: int, dbuf: bool,
                                stride: int, tmode: str,
-                               consts: tuple):
+                               consts: tuple, smode: str = "sph"):
     """Twined variant of _inline_kernel_into: the center and the two
     DERIV_BIAS-biased coordinate grids are computed in-kernel from the
     doubled axis-feature sets (xi/yi = 1), differenced into the
@@ -1257,13 +1300,14 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
     def row_body(r, _):
         sl8 = pl.ds(r * 8, 8)
         sx0, sy0 = _inline_coords_rb(xf_ref, yf_ref, bm, sl8,
-                                     tmode=tmode, consts=consts)
+                                     tmode=tmode, consts=consts,
+                                     smode=smode)
         sxb, syb = _inline_coords_rb(xf_ref, yf_ref, bm, sl8,
                                      tmode=tmode, consts=consts,
-                                     xi=1)
+                                     xi=1, smode=smode)
         sxc, syc = _inline_coords_rb(xf_ref, yf_ref, bm, sl8,
                                      tmode=tmode, consts=consts,
-                                     yi=1)
+                                     yi=1, smode=smode)
         dux = sxb - sx0
         duy = syb - sy0
         dvx = sxc - sx0
@@ -1329,7 +1373,8 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
 
 @functools.partial(jax.jit, static_argnames=("degree", "wc",
                                              "interpret", "n_taps",
-                                             "tmode", "consts"))
+                                             "tmode", "consts",
+                                             "smode"))
 def resample_inline_twined_into(canvas: jnp.ndarray,
                                 coeff: jnp.ndarray,
                                 tiles: jnp.ndarray,
@@ -1338,7 +1383,7 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
                                 yfeat: jnp.ndarray,
                                 bmats: jnp.ndarray, spread, eps, *,
                                 degree: int, n_taps: int, tmode: str,
-                                consts: tuple,
+                                consts: tuple, smode: str = "sph",
                                 wc: WindowClass = LOCAL,
                                 interpret: bool = False
                                 ) -> jnp.ndarray:
@@ -1399,7 +1444,7 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
                              degree=degree, wc=wc, nch=nch,
                              n_taps=n_taps, nt=nt, dbuf=dbuf,
                              stride=stride, tmode=tmode,
-                             consts=consts)
+                             consts=consts, smode=smode)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),

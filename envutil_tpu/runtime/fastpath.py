@@ -117,6 +117,111 @@ def _variant_spline(src, name):
     return src.spl if name == "orig" else src.variants[name]
 
 
+# coarse ladder: fewer, larger classes - half the pallas_call launches
+# per frame. Wins on smooth full-frame warps (the headline: 2259 vs
+# 2181 Mpix/s, 2026-08-19 A/B on one v5e chip) where the per-pass
+# launch overhead outweighs the tighter classes' per-tile savings;
+# loses on warped/partial configs where the tight classes' smaller
+# windows/budgets dominate. All members are in DEFAULT_CLASSES, so
+# per-tile admission exactness is unchanged.
+COARSE_CLASSES = (PR.SHEAR6, PR.SHEAR_LOCAL, PR.LOCAL,
+                  PR.SHEAR_MINIFY, PR.SHEAR_DIAG, PR.MINIFY,
+                  PR.STEEP, PR.DIAG)
+
+# cost-model constants (one v5e chip): the VPU resolves one (8, 128)
+# dynamic_gather per cycle at ~940 MHz; HBM streams ~850 bytes per
+# core-cycle; a pallas_call launch inside one jit costs ~0.1 ms
+# (measured from the 4-vs-8-pass headline A/B: 0.4 ms / 4 passes).
+_CYCLES_PER_GATHER = 1.0
+_BYTES_PER_CYCLE = 850.0
+_LAUNCH_CYCLES = 95_000.0
+_XLA_TILE_CYCLES = 3_000_000.0   # an XLA-fallback tile costs ~100x
+
+
+def _tile_cost_cycles(wc, degree: int, nch: int, itemsize: int,
+                      n_taps: int) -> float:
+    """Estimated per-tile device cycles for one window class: gather
+    chain (the kernel bottleneck - the VPU resolves one (8, 128)
+    dynamic_gather per cycle) and window DMA (hidden behind compute
+    when the class double-buffers)."""
+    n1 = degree + 1
+    k = wc.k_taps
+    if wc.u_span and n_taps > 1:
+        # union-tap: gathers K-independent; per-tap VPU routing term
+        if wc.shear_q:
+            g = (wc.shear_q * wc.cand_c * wc.cand_r
+                 + k * (wc.shear_q * wc.cand_c
+                        + (n1 + wc.u_span) * wc.shear_q)) * nch
+        else:
+            g = k * (wc.cand_r * wc.cand_c
+                     + (n1 + wc.u_span) * wc.cand_r) * nch
+        g += n_taps * (n1 * (wc.u_span + 1) + k * (n1 + wc.u_span))
+    elif wc.shear_q:
+        g = (wc.shear_q * wc.cand_c * wc.cand_r
+             + k * (wc.shear_q * wc.cand_c + n1 * wc.shear_q)) * nch
+        g *= max(1, n_taps)
+    else:
+        g = k * wc.cand_r * (wc.cand_c + n1) * nch
+        g *= max(1, n_taps)
+    compute = PR.NRB * g * _CYCLES_PER_GATHER
+    dma = nch * wc.win_h * wc.win_w * itemsize / _BYTES_PER_CYCLE
+    if _dbuf_ok_cost(wc, nch, itemsize):
+        return max(compute, dma)
+    return compute + dma
+
+
+def _dbuf_ok_cost(wc, nch, itemsize):
+    return PR._dbuf_ok(wc, nch, itemsize)
+
+
+def _plan_cost_cycles(passes, assigned, src, n_taps: int) -> float:
+    """Estimated device cycles of a planned frame: per-pass launches,
+    per-tile kernel cost, and the XLA patch cost of unassigned tiles."""
+    nch = src.spl.coeff.shape[-1]
+    itemsize = src.spl.coeff.dtype.itemsize
+    cost = float((assigned == -1).sum()) * _XLA_TILE_CYCLES
+    for pi, (name, wc, _box, tiles, _merge) in enumerate(passes):
+        degree = _variant_spline(src, name).degree
+        cost += _LAUNCH_CYCLES + tiles.shape[0] * _tile_cost_cycles(
+            wc, degree, nch, itemsize, n_taps)
+    return cost
+
+
+# ladder decisions cached on the frame geometry (selection replans
+# once per candidate ladder - device stat reductions - so repeated
+# frames of one geometry must not pay it again)
+_LADDER_CACHE = {}
+
+
+def select_classes(plan, src, window, fi: int = 0, spread=None,
+                   verbose: bool = False):
+    """Pick the class ladder per frame from the planned tile routing:
+    plan with both the general 17-class ladder and the coarse 8-class
+    ladder, cost both under the gather/DMA/launch model, keep the
+    cheaper. Replaces the former ENVUTIL_FINE_LADDER/coarse-bench
+    split with a planner decision (VERDICT r2 item 5)."""
+    key = (_geom_static(plan), window, fi,
+           tuple(spread) if spread is not None else None,
+           src.spl.coeff.shape, str(src.spl.coeff.dtype),
+           tuple(sorted(src.variants)))
+    got = _LADDER_CACHE.get(key)
+    if got is not None:
+        return got
+    n_taps = len(spread) if spread is not None else 0
+    best = None
+    for classes in (COARSE_CLASSES, DEFAULT_CLASSES):
+        passes, assigned = plan_passes(plan, src, window, classes, fi,
+                                       spread)
+        cost = _plan_cost_cycles(passes, assigned, src, n_taps)
+        if verbose:
+            print(f"ladder {len(classes)} classes: {len(passes)} "
+                  f"passes, est {cost / 940e3:.2f} ms")
+        if best is None or cost < best[0]:
+            best = (cost, classes)
+    _LADDER_CACHE[key] = best[1]
+    return best[1]
+
+
 # geometry interning: plans whose per-facet transform is a plain
 # rotation share one compiled program per (geometry, shape) - the
 # rotation matrix enters as a traced argument, so interactive serving
@@ -435,7 +540,7 @@ def _gate_bounds(bc, n):
 
 @functools.lru_cache(maxsize=64)
 def _inline_setup(plan, window, name, core_shape, pad, bcs, statics,
-                  twined: bool = False):
+                  twined: bool = False, smode: str = "sph"):
     """Host-side axis-feature arrays + static constants for an
     inline-coordinates pass (PR.resample_inline_into), keyed on the
     static geometry. ``statics`` is the hashable source static tuple
@@ -443,8 +548,10 @@ def _inline_setup(plan, window, name, core_shape, pad, bcs, statics,
     P, consts) with xfeat (Fx, 8, W) and yfeat (Fy, H, 128) float32
     numpy arrays built from the same float64 axes the XLA coordinate
     pass uses. ``twined`` doubles the feature sets with the
-    DERIV_BIAS-biased axes (in-kernel derivative grids)."""
-    (tex0, tex1, tey0, tey1, tw, th, wxo, wyo) = statics
+    DERIV_BIAS-biased axes (in-kernel derivative grids). ``smode``
+    selects the source-side kernel math: "sph" (full-spherical mount)
+    or "cubemap"/"biatan6" (IR pickup; ``statics`` is then
+    (refc_md, model_to_px, section_px))."""
     y0, y1, x0, x1 = window
     ext = plan.extent
 
@@ -505,9 +612,21 @@ def _inline_setup(plan, window, name, core_shape, pad, bcs, statics,
         np.stack([a.astype(np.float32) for a in yf])[:, :, None],
         (len(yf), ys.size, 128)).copy()
 
+    if smode in ("cubemap", "biatan6"):
+        # IR pickup (metrics.get_pickup_coordinate_px): scale fx/fy by
+        # model_to_px around the section center; the per-face section
+        # offset rides as consts[11] (face selected in-kernel)
+        refc_md, model_to_px, section_px = statics
+        k = float(model_to_px)
+        c = float(refc_md * model_to_px - 0.5)
+        consts = (k, c, k, c, "none", 0.0, 0.0, "none", 0.0, 0.0,
+                  float(pad), float(section_px))
+        return tmode, xfeat, yfeat, P, consts
+
     # model -> spline affine (environment._md_to_spline) composed with
     # the variant rescale (oversampled pitched copies) and the rolled
     # half-width shift, exactly as _coords applies them in sequence
+    (tex0, tex1, tey0, tey1, tw, th, wxo, wyo) = statics
     h, w = core_shape
     kxm = tw / (tex1 - tex0)
     kym = th / (tey1 - tey0)
@@ -528,14 +647,22 @@ def _inline_setup(plan, window, name, core_shape, pad, bcs, statics,
 
 
 def _inline_eligible(plan, src, fi, name, spread, merge):
-    """Can this pass run with the coordinate chain fused in-kernel?"""
-    return (not merge
-            and src.static.kind == "mount"
+    """Can this pass run with the coordinate chain fused in-kernel?
+    Returns the source-side kernel mode ("sph" for full-spherical
+    mounts, "cubemap"/"biatan6" for IR pickups) or None."""
+    if (merge or plan.planar_to_ray[fi] is not None
+            or plan.projection not in _INLINE_TARGETS
+            or name.startswith("sec")):
+        return None
+    if (src.static.kind == "mount"
             and src.static.projection == Projection.SPHERICAL
-            and src.spl is not None and src.spl.spherical
-            and plan.planar_to_ray[fi] is None
-            and plan.projection in _INLINE_TARGETS
-            and not name.startswith("sec"))
+            and src.spl is not None and src.spl.spherical):
+        return "sph"
+    if src.static.kind == "cubemap" and name == "orig" \
+            and src.spl is not None:
+        return ("biatan6" if src.static.projection == Projection.BIATAN6
+                else "cubemap")
+    return None
 
 
 def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
@@ -959,7 +1086,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
             state["coeffs"][name] = jnp.moveaxis(
                 _variant_spline(src, name).coeff, -1, 0)
         state["tiles"].append(jnp.asarray(tiles))
-        if not _inline_eligible(plan, src, fi, name, spread, merge):
+        smode = _inline_eligible(plan, src, fi, name, spread, merge)
+        if smode is None:
             continue
         if plan.projection in (Projection.CUBEMAP,
                                Projection.BIATAN6):
@@ -973,18 +1101,23 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
             faces = np.zeros(tiles.shape[0], np.int32)
         spl = _variant_spline(src, name)
         stt = src.static
-        statics = (stt.total_extent.x0, stt.total_extent.x1,
-                   stt.total_extent.y0, stt.total_extent.y1,
-                   stt.total_width, stt.total_height,
-                   stt.window_x_offset, stt.window_y_offset)
+        if smode == "sph":
+            statics = (stt.total_extent.x0, stt.total_extent.x1,
+                       stt.total_extent.y0, stt.total_extent.y1,
+                       stt.total_width, stt.total_height,
+                       stt.window_x_offset, stt.window_y_offset)
+        else:
+            m = stt.metrics
+            statics = (m.refc_md, m.model_to_px, m.section_px)
         tmode, xfeat, yfeat, P, consts = _inline_setup(
             geom, window, name, spl.core_shape, spl.pad,
-            tuple(spl.bcs), statics, twined=spread is not None)
+            tuple(spl.bcs), statics, twined=spread is not None,
+            smode=smode)
         state["inline"][pi] = (jnp.asarray(xfeat),
                                jnp.asarray(yfeat),
                                jnp.asarray(faces))
-        inline_info[pi] = (tmode, consts, P,
-                           name.startswith("pitched"))
+        inline_info[pi] = (tmode, consts, smode,
+                           name.startswith("pitched"), P)
 
     full_cover = src.spl is not None and bool(
         getattr(src.spl, "spherical", False))
@@ -993,7 +1126,7 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                     _variant_spline(src, name).degree,
                     _variant_spline(src, name).coeff.shape,
                     tiles.shape[0], merge,
-                    inline_info.get(pi, (None,))[:2])
+                    inline_info.get(pi, (None,))[:3])
                    for pi, (name, wc, box, tiles, merge)
                    in enumerate(passes))
     key = (geom, window, tuple(classes), fi, nch_out, float(brighten),
@@ -1013,8 +1146,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
             if inline[0] is not None:
                 # coordinate chain fused into the kernel: no XLA
                 # coordinate pass, no sx/sy HBM round trip
-                tmode, consts = inline
-                _t2, _c2, P, pitched = inline_info[pi]
+                tmode, consts, smode = inline
+                _t2, _c2, _s2, pitched, P = inline_info[pi]
                 bas = st["basis"]
                 if pitched:
                     bas = jnp.asarray(
@@ -1026,7 +1159,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                     canvas = PR.resample_inline_into(
                         canvas, st["coeffs"][name], st["tiles"][pi],
                         fcs, xfeat, yfeat, bm, eps, degree=degree,
-                        tmode=tmode, consts=consts, wc=wc,
+                        tmode=tmode, consts=consts, smode=smode,
+                        wc=wc,
                         unroll=not (_same_geom(wc, PR.DIAG)
                                     or _same_geom(wc, PR.SHEAR4)))
                 else:
@@ -1034,7 +1168,7 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                         canvas, st["coeffs"][name], st["tiles"][pi],
                         fcs, xfeat, yfeat, bm, st["spread"], eps,
                         degree=degree, n_taps=n_taps, tmode=tmode,
-                        consts=consts, wc=wc)
+                        consts=consts, smode=smode, wc=wc)
                 continue
             bwin = _box_window(window, box)
             c0 = _coords(geom, bwin, name, st["src"], fi, (0.0, 0.0),
@@ -1409,8 +1543,7 @@ def _render_fast_solo_twined_partial(plan, src, window, out_h, out_w,
 
 
 def render_fast_twined(plan, sources, verbose: bool = False,
-                       classes=DEFAULT_CLASSES
-                       ) -> Optional[np.ndarray]:
+                       classes=None) -> Optional[np.ndarray]:
     """Solo render with the twining filter fused into the kernel. Tap
     positions are linearized in coordinate space (the reference
     linearizes in ray space with the same sub-pixel differencing); the
@@ -1426,6 +1559,12 @@ def render_fast_twined(plan, sources, verbose: bool = False,
     ph = _round_up(out_h, PR.TILE_H)
     pw = _round_up(out_w, PR.TILE_W)
     window = (y0, y0 + ph, x0, x0 + pw)
+    if classes is None:
+        bias0 = 1.0 / ST.DERIV_BIAS
+        sp0 = tuple((float(cx) * bias0, float(cy) * bias0, float(w))
+                    for (cx, cy, w) in plan.spread)
+        classes = select_classes(plan, src, window, spread=sp0,
+                                 verbose=verbose)
 
     full_cover = (src.static.kind == "cubemap"
                   or src.static.full_fisheye
@@ -1483,12 +1622,14 @@ def render_fast_twined(plan, sources, verbose: bool = False,
 
 def render_fast(plan, sources, render_window_fn=None,
                 verbose: bool = False,
-                classes=DEFAULT_CLASSES) -> Optional[np.ndarray]:
-    """Render via the Pallas path; returns None if not eligible."""
+                classes=None) -> Optional[np.ndarray]:
+    """Render via the Pallas path; returns None if not eligible.
+    ``classes=None`` selects the ladder per frame (select_classes)."""
     if plan.spread is not None and len(sources) == 1:
         return render_fast_twined(plan, sources, verbose, classes)
     if len(sources) > 1:
-        return render_fast_multi(plan, sources, verbose, classes)
+        return render_fast_multi(plan, sources, verbose,
+                                 classes or DEFAULT_CLASSES)
     if not eligible(plan, sources):
         return None
     src = sources[0]
@@ -1501,6 +1642,8 @@ def render_fast(plan, sources, render_window_fn=None,
     ph = _round_up(out_h, PR.TILE_H)
     pw = _round_up(out_w, PR.TILE_W)
     window = (y0, y0 + ph, x0, x0 + pw)
+    if classes is None:
+        classes = select_classes(plan, src, window, verbose=verbose)
 
     frame_fn, state, assigned, passes = fused_frame(
         plan, src, window, classes)
@@ -1578,7 +1721,7 @@ def split_passes_by_bands(passes, assigned, n_bands: int):
 
 
 def render_fast_mesh(plan, sources, mesh_n: int, verbose: bool = False,
-                     classes=DEFAULT_CLASSES) -> Optional[np.ndarray]:
+                     classes=None) -> Optional[np.ndarray]:
     """--mesh N through the FUSED kernel: the same Pallas pass
     structure the single-device fast path runs, planned once over the
     whole frame and dispatched per output-row band, each band's frame
@@ -1611,6 +1754,8 @@ def render_fast_mesh(plan, sources, mesh_n: int, verbose: bool = False,
                   f"{mesh_n} bands; using the XLA sharded render")
         return None
     window = (y0, y0 + ph, x0, x0 + pw)
+    if classes is None:
+        classes = select_classes(plan, src, window, verbose=verbose)
 
     passes, assigned = plan_passes(plan, src, window, classes)
     n_fast = int((assigned >= 0).sum())

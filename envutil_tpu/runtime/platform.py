@@ -21,7 +21,15 @@ import os
 def ensure_backend():
     """Return ``jax.devices()``, falling back to platform
     auto-selection when the image's forced platform list names a
-    backend that failed to register (transient tunnel state)."""
+    backend that failed to register (transient tunnel state).
+
+    A silent fall to the CPU backend poisons whole TPU runs (the fused
+    kernels then die mid-compile with 'Only interpret mode is
+    supported on CPU backend'), so when the result is CPU-only this
+    reports it loudly on stderr, and ENVUTIL_REQUIRE_TPU=1 turns it
+    into a hard error."""
+    import sys
+
     import jax
 
     if os.environ.get("ENVUTIL_PLATFORM"):
@@ -29,7 +37,14 @@ def ensure_backend():
                           os.environ["ENVUTIL_PLATFORM"])
         return jax.devices()
     try:
-        return jax.devices()
+        devs = jax.devices()
     except RuntimeError:
         jax.config.update("jax_platforms", "")
-        return jax.devices()
+        devs = jax.devices()
+    if all(d.platform == "cpu" for d in devs):
+        msg = ("ensure_backend: no accelerator registered - running "
+               "on CPU (transient tunnel state? retry the run)")
+        if os.environ.get("ENVUTIL_REQUIRE_TPU") == "1":
+            raise RuntimeError(msg)
+        print(msg, file=sys.stderr, flush=True)
+    return devs

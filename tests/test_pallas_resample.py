@@ -795,3 +795,91 @@ def test_resample_inline_twined_kernel():
             np.testing.assert_allclose(out[osl], ref[osl], atol=3e-3)
         tested += 1
     assert tested
+
+
+def test_resample_inline_cubemap_source():
+    """Inline-coordinates kernel with the cubemap/biatan6 SOURCE
+    pickup fused in (dominant-axis face selection + in-face division +
+    per-face section offset in-kernel) vs the XLA _coords +
+    eval_spline path."""
+    import math
+
+    from envutil_tpu.core.conventions import Projection
+    from envutil_tpu.core.facet import Facet
+    from envutil_tpu.core.metrics import get_extent, get_step
+    from envutil_tpu.models import cubemap as CBM
+    from envutil_tpu.runtime import fastpath
+    from envutil_tpu.runtime.args import Args
+    from envutil_tpu.runtime.render import build_plan
+
+    rng = np.random.default_rng(11)
+    faces6 = np.stack([rng.uniform(0, 1, (128, 128, 3))
+                       .astype(np.float32) for _ in range(6)])
+    for sproj in (Projection.CUBEMAP, Projection.BIATAN6):
+        cfct = Facet(facet_no=0, nchannels=3)
+        cfct.set_geometry(sproj, 128, 6 * 128, math.pi / 2)
+        cfct.step = get_step(sproj, 128, 6 * 128, math.pi / 2)
+        cfct.yaw = math.radians(15)
+        cfct.process_geometry()
+        src = CBM.make_cubemap_source(cfct, faces6, 3, 3, 16, 16)
+
+        args = Args()
+        args.projection = Projection.RECTILINEAR
+        args.width = args.height = 256
+        args.hfov = math.radians(70)
+        args.extent = get_extent(args.projection, 256, 256, args.hfov)
+        args.step = (args.extent.x1 - args.extent.x0) / 256
+        args.spline_degree = args.prefilter_degree = 3
+        args.twine = 0
+        args.synopsis = "panorama"
+        args.nchannels = 3
+        args.facets = [cfct]
+        args.solo = 0
+        plan = build_plan(args, [cfct])
+        window = (0, 256, 0, 256)
+        geom = fastpath._geom_static(plan)
+        basis = fastpath._basis_arg(plan, 0)
+        passes, assigned = fastpath.plan_passes(
+            plan, src, window, fastpath.DEFAULT_CLASSES)
+        tested = 0
+        for name, wc, box, tiles, merge in passes:
+            smode = fastpath._inline_eligible(plan, src, 0, name,
+                                              None, merge)
+            if smode is None:
+                continue
+            assert smode == ("biatan6"
+                             if sproj == Projection.BIATAN6
+                             else "cubemap")
+            spl = fastpath._variant_spline(src, name)
+            m = src.static.metrics
+            statics = (m.refc_md, m.model_to_px, m.section_px)
+            tmode, xfeat, yfeat, P, consts = fastpath._inline_setup(
+                geom, window, name, spl.core_shape, spl.pad,
+                tuple(spl.bcs), statics, smode=smode)
+            faces = np.zeros(tiles.shape[0], np.int32)
+            bas = np.asarray(basis, np.float32)
+            bm = np.einsum("ij,fjk->fik", bas, P).reshape(-1, 9)
+            coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+            canvas = jnp.zeros((coeffp.shape[0], 256, 256),
+                               jnp.float32)
+            out = PR.resample_inline_into(
+                canvas, coeffp, jnp.asarray(tiles),
+                jnp.asarray(faces), jnp.asarray(xfeat),
+                jnp.asarray(yfeat), jnp.asarray(bm),
+                jnp.float32(0), degree=spl.degree, tmode=tmode,
+                consts=consts, smode=smode, wc=wc, interpret=True)
+            out = np.moveaxis(np.asarray(out), 0, -1)
+            rsx, rsy, _m, _z = fastpath._coords(
+                geom, window, name, src, 0, (0.0, 0.0), basis)
+            ref = np.asarray(S.eval_spline(
+                S.Spline2D(coeff=spl.coeff, pad=0, degree=spl.degree,
+                           bcs=(S.CONSTANT, S.CONSTANT),
+                           core_shape=spl.coeff.shape[:2]),
+                rsx, rsy, apply_gate=False))
+            for row in np.asarray(tiles):
+                osl = np.s_[row[2]*PR.TILE_H:(row[2]+1)*PR.TILE_H,
+                            row[3]*PR.TILE_W:(row[3]+1)*PR.TILE_W]
+                np.testing.assert_allclose(out[osl], ref[osl],
+                                           atol=3e-3)
+            tested += 1
+        assert tested, f"no inline-eligible pass for {sproj} source"
