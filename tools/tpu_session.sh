@@ -7,7 +7,11 @@ set -u
 OUT=${1:-/tmp/tpu_session}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
-export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# NEVER export PYTHONPATH here: the presence of the PYTHONPATH env var
+# (any value, even an empty dir) makes the axon TPU plugin register
+# under 'tpu' with a failing libtpu init instead of 'axon' - every JAX
+# process then silently lands on CPU. Install the package instead.
+pip install -e . --no-deps --no-build-isolation -q
 
 code=$(curl -s -m 5 -o /dev/null -w "%{http_code}" http://127.0.0.1:8093 || true)
 if [ "$code" = "000" ]; then
