@@ -130,11 +130,14 @@ COARSE_CLASSES = (PR.SHEAR6, PR.SHEAR_LOCAL, PR.LOCAL,
 
 # cost-model constants (one v5e chip): the VPU resolves one (8, 128)
 # dynamic_gather per cycle at ~940 MHz; HBM streams ~850 bytes per
-# core-cycle; a pallas_call launch inside one jit costs ~0.1 ms
-# (measured from the 4-vs-8-pass headline A/B: 0.4 ms / 4 passes).
+# core-cycle; a pallas_call launch inside one jit costs ~0.13 ms
+# (measured 2026-08-19 after the table-pad hoist: the 4-vs-8-pass
+# headline A/B ran 8.44 vs 8.97 ms - the tighter classes' modelled
+# per-tile savings did not materialize, so the launch constant carries
+# the whole measured difference).
 _CYCLES_PER_GATHER = 1.0
 _BYTES_PER_CYCLE = 850.0
-_LAUNCH_CYCLES = 95_000.0
+_LAUNCH_CYCLES = 160_000.0
 _XLA_TILE_CYCLES = 3_000_000.0   # an XLA-fallback tile costs ~100x
 
 
@@ -1070,6 +1073,26 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
 
     state = {"src": src, "basis": _basis_arg(plan, fi),
              "coeffs": {}, "tiles": []}
+    # pre-pad each variant's coefficient planes to the aligned dims of
+    # every class that reads them, ONCE at state-build time. Left to
+    # the kernel wrappers, the edge-pad runs INSIDE the jitted frame
+    # and XLA does not hoist it out of the serve/bench frame loops -
+    # the device profile attributes 2.5 ms/frame (20%) of the 8K
+    # headline to re-padding the tables every frame
+    # (tools/profile_mosaic.py, 2026-08-19).
+    need = {}
+    for (name, wc, _b, _t, _m) in passes:
+        mh, mw = need.get(name, (0, 0))
+        need[name] = (max(mh, wc.win_h), max(mw, wc.win_w))
+    for name, (mh, mw) in need.items():
+        c = jnp.moveaxis(_variant_spline(src, name).coeff, -1, 0)
+        _nc, hp_, wp_ = c.shape
+        ha = max(mh, ((hp_ + 7) // 8) * 8)
+        wa = max(mw, ((wp_ + 127) // 128) * 128)
+        if (ha, wa) != (hp_, wp_):
+            c = jnp.pad(c, ((0, 0), (0, ha - hp_), (0, wa - wp_)),
+                        mode="edge")
+        state["coeffs"][name] = c
     if pertap:
         state["spread"] = jnp.asarray(
             [spread[0][0], spread[0][1], 1.0], jnp.float32)
@@ -1082,9 +1105,6 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     state["inline"] = {}
     inline_info = {}
     for pi, (name, wc, box, tiles, merge) in enumerate(passes):
-        if name not in state["coeffs"]:
-            state["coeffs"][name] = jnp.moveaxis(
-                _variant_spline(src, name).coeff, -1, 0)
         state["tiles"].append(jnp.asarray(tiles))
         smode = _inline_eligible(plan, src, fi, name, spread, merge)
         if smode is None:
