@@ -153,6 +153,15 @@ SHEAR_LOCAL_3 = WindowClass(win_h=384, win_w=512, cand_r=8, cand_c=3,
                             k_taps=8, shear_q=3)
 SHEAR_MINIFY = WindowClass(win_h=512, win_w=896, cand_r=8, cand_c=6,
                            k_taps=6, shear_q=2)
+# deeper-band sheared variants: the twined classifier widens the band
+# requirement by the tap-margin slack (tile_stats_fit_range), which
+# busts q2/q3 for minified twined tiles - q3/q4 bands admit them and
+# replace the cand_r-deep row cascades with Q-deep band resolves
+# (~1.6-2x fewer gathers on the 16K 16-tap tiles)
+SHEAR_MINIFY_3 = WindowClass(win_h=512, win_w=896, cand_r=8, cand_c=6,
+                             k_taps=6, shear_q=3)
+SHEAR_STEEP = WindowClass(win_h=640, win_w=896, cand_r=22, cand_c=4,
+                          k_taps=6, shear_q=4)
 SHEAR_DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3,
                          k_taps=16, shear_q=3)
 

@@ -46,6 +46,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import List, Optional
 
 import jax
@@ -73,8 +74,10 @@ PITCH_BASIS = rotation_rpy(0.0, math.pi / 2, 0.0)
 DEFAULT_CLASSES = (PR.SHEAR4, PR.SHEAR6, PR.TIGHT, PR.SHEAR_MID,
                    PR.ROWS4, PR.SHEAR6_3, PR.ALIGNED,
                    PR.SHEAR_LOCAL, PR.MID, PR.ROWS6,
-                   PR.SHEAR_MINIFY, PR.SHEAR_LOCAL_3, PR.LOCAL,
-                   PR.SHEAR_DIAG, PR.MINIFY, PR.STEEP, PR.DIAG)
+                   PR.SHEAR_MINIFY, PR.SHEAR_MINIFY_3,
+                   PR.SHEAR_LOCAL_3, PR.LOCAL,
+                   PR.SHEAR_DIAG, PR.SHEAR_STEEP, PR.MINIFY,
+                   PR.STEEP, PR.DIAG)
 
 
 
@@ -125,8 +128,8 @@ def _variant_spline(src, name):
 # windows/budgets dominate. All members are in DEFAULT_CLASSES, so
 # per-tile admission exactness is unchanged.
 COARSE_CLASSES = (PR.SHEAR6, PR.SHEAR_LOCAL, PR.LOCAL,
-                  PR.SHEAR_MINIFY, PR.SHEAR_DIAG, PR.MINIFY,
-                  PR.STEEP, PR.DIAG)
+                  PR.SHEAR_MINIFY, PR.SHEAR_MINIFY_3, PR.SHEAR_DIAG,
+                  PR.SHEAR_STEEP, PR.MINIFY, PR.STEEP, PR.DIAG)
 
 # cost-model constants (one v5e chip): the VPU resolves one (8, 128)
 # dynamic_gather per cycle at ~940 MHz; HBM streams ~850 bytes per
@@ -668,6 +671,112 @@ def _inline_eligible(plan, src, fi, name, spread, merge):
     return None
 
 
+def _consolidate_passes(passes, skeys, assigned, src, stats_cache,
+                        n_taps):
+    """Launch-count consolidation: a pallas_call launch inside one jit
+    costs ~0.13 ms (_LAUNCH_CYCLES), so a small pass is often worth
+    folding into another pass's (usually costlier) window class.
+    Greedy: apply the best net-positive merge until none remains.
+
+    A merge (i -> j) moves ALL of pass i's tiles into pass j's class.
+    Feasible when both passes render the same variant with the same
+    merge semantics, one pass's stat box contains the other's (within
+    a planning phase boxes are bounding boxes of a shrinking tile set,
+    hence nested), and every tile of BOTH passes classifies fast under
+    j's class - per-tile statistics are box-independent (the
+    coordinate field of a tile does not depend on which box it was
+    computed over), so the containing box's cached stats decide
+    exactly. The merged pass re-derives window origins and row-block
+    extensions from those stats, so it is exactly the pass the planner
+    would have built had it assigned these tiles to j's class in the
+    first place. Coordinate compute never grows: the merged pass uses
+    the containing box, which an existing pass already paid for, and
+    one box disappears."""
+    nch = src.spl.coeff.shape[-1]
+    itemsize = src.spl.coeff.dtype.itemsize
+    passes = list(passes)
+    skeys = list(skeys)
+
+    def contains(a, b):
+        return (a[0] <= b[0] and a[1] >= b[1]
+                and a[2] <= b[2] and a[3] >= b[3])
+
+    def tile_cost(name, wc):
+        spl = _variant_spline(src, name)
+        return _tile_cost_cycles(wc, spl.degree, nch, itemsize, n_taps)
+
+    while len(passes) > 1:
+        best = None
+        for i, (ni, wci, boxi, ti, mi) in enumerate(passes):
+            ci = tile_cost(ni, wci)
+            for j, (nj, wcj, boxj, tj, mj) in enumerate(passes):
+                if i == j or ni != nj or mi != mj:
+                    continue
+                if contains(boxi, boxj):
+                    box, skey = boxi, skeys[i]
+                elif contains(boxj, boxi):
+                    box, skey = boxj, skeys[j]
+                else:
+                    continue
+                gain = _LAUNCH_CYCLES - ti.shape[0] * (tile_cost(nj, wcj)
+                                                       - ci)
+                if gain <= 0 or (best is not None and gain <= best[0]):
+                    continue
+                stats = stats_cache.get(skey)
+                if stats is None:
+                    continue
+                spl = _variant_spline(src, nj)
+                try:
+                    _org, fast = PR.classify_tiles(
+                        stats, spl.coeff.shape[0], spl.coeff.shape[1],
+                        spl.degree, wcj)
+                except AssertionError:
+                    continue   # stats lack the fit/range entries
+                bntx = box[3] - box[2]
+                out = np.concatenate([ti[:, 2:4], tj[:, 2:4]])
+                iby = out[:, 0] - box[0]
+                ibx = out[:, 1] - box[2]
+                if not fast[iby, ibx].all():
+                    continue
+                best = (gain, i, j, box, skey)
+        if best is None:
+            break
+        _gain, i, j, box, skey = best
+        name, wcj = passes[j][0], passes[j][1]
+        merge_flag = passes[j][4]
+        spl = _variant_spline(src, name)
+        stats = stats_cache[skey]
+        origins, _fast = PR.classify_tiles(
+            stats, spl.coeff.shape[0], spl.coeff.shape[1],
+            spl.degree, wcj)
+        bntx = box[3] - box[2]
+        out = np.concatenate([passes[i][3][:, 2:4],
+                              passes[j][3][:, 2:4]])
+        iby = out[:, 0] - box[0]
+        ibx = out[:, 1] - box[2]
+        org = origins[iby * bntx + ibx]
+        tiles = np.column_stack(
+            [iby, ibx, out[:, 0], out[:, 1],
+             org[:, 0], org[:, 1]]).astype(np.int32)
+        if wcj.shear_q:
+            ext = PR.row_block_shear(stats, tiles, spl.degree, wcj)
+        else:
+            ext = PR.row_block_origins(stats, tiles, spl.degree, wcj)
+        tiles = np.concatenate([tiles, ext], axis=1)
+        keep = [k for k in range(len(passes)) if k not in (i, j)]
+        remap = np.full(len(passes), -1, np.int32)
+        for new, old in enumerate(keep):
+            remap[old] = new
+        remap[i] = remap[j] = len(keep)
+        sel = assigned >= 0
+        assigned = assigned.copy()
+        assigned[sel] = remap[assigned[sel]]
+        passes = [passes[k] for k in keep] \
+            + [(name, wcj, box, tiles, merge_flag)]
+        skeys = [skeys[k] for k in keep] + [skey]
+    return passes, assigned
+
+
 def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 masked_merge: bool = True, exclude=None,
                 want_union: bool = True):
@@ -765,7 +874,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 uni.append(dataclasses.replace(wc, u_span=6))
             uni.append(wc)
         classes = tuple(uni)
-    _last_resort = (PR.SHEAR_DIAG, PR.STEEP, PR.DIAG)
+    _last_resort = (PR.SHEAR_DIAG, PR.SHEAR_STEEP, PR.STEEP, PR.DIAG)
     cheap = [wc for wc in classes
              if not any(_same_geom(wc, l) for l in _last_resort)]
     last = [wc for wc in classes
@@ -775,6 +884,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
              + [(wc, n) for wc in last for n in names])
 
     passes = []
+    skeys = []   # per-pass stats_cache key (for _consolidate_passes)
     stats_cache = {}
 
     def _dom_stats(name, box):
@@ -868,6 +978,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                                            wc)
             tiles = np.concatenate([tiles, ext], axis=1)
             passes.append((name, wc, box, tiles, False))
+            skeys.append((name, box))
 
     # boundary phase: a face-boundary tile mixes dominant faces, so no
     # single sec pass can serve it exactly. Render it once per
@@ -953,6 +1064,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 if assigned[ty, tx] == -3:
                     assigned[ty, tx] = len(passes)
             passes.append((name, wc, box, tiles, True))
+            skeys.append((name, box, "dom"))
 
     # masked boundary phase for partial mount facets: a facet-edge
     # tile's out-of-facet pixels have grazing/backward planar
@@ -998,6 +1110,11 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                                                spl.degree, wc)
                 tiles = np.concatenate([tiles, ext], axis=1)
                 passes.append((name, wc, box, tiles, True))
+                skeys.append((name, box, "dom"))
+    if os.environ.get("ENVUTIL_NO_CONSOLIDATE") != "1":
+        passes, assigned = _consolidate_passes(
+            passes, skeys, assigned, src, stats_cache,
+            len(spread) if spread is not None else 0)
     return passes, assigned
 
 
