@@ -155,14 +155,33 @@ def main():
 
     n_px = plan.width * plan.height
     mpix_s = n_px / 1e6 / dt
-    print(json.dumps({
+    rec = {
         "metric": "reprojection Mpix/s/chip (8K equirect->cubemap, "
                   "degree-3 b-spline, fused pallas kernel; "
                   f"{frac_fast:.0%} tiles on fast path)",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_CPU_MPIX_S, 2),
-    }))
+    }
+    # measured bracket for this config (VERDICT r3 item 5): the repo's
+    # own XLA-CPU rate on THIS config (tools/cpu_floor.py), recorded
+    # per config in CPU_FLOORS.json - the proxy's lower edge
+    floor = _measured_floor("2")
+    if floor is not None:
+        rec["cpu_floor_measured"] = floor["value"]
+        rec["vs_cpu_floor_1core"] = round(mpix_s / floor["value"], 1)
+    print(json.dumps(rec))
+
+
+def _measured_floor(tag):
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "CPU_FLOORS.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get(tag)
+    except (OSError, ValueError):
+        return None
 
 
 if __name__ == "__main__":

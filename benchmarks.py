@@ -66,9 +66,25 @@ def _timeit_frame(frame_fn, args, n_px, runs=24):
     return n_px / 1e6 / dt
 
 
-def _report(name, mpix_s, extra=""):
-    print(json.dumps({"config": name, "value": round(mpix_s, 1),
-                      "unit": "Mpix/s", "note": extra}))
+def _report(name, mpix_s, extra="", tag=None):
+    rec = {"config": name, "value": round(mpix_s, 1),
+           "unit": "Mpix/s", "note": extra}
+    # per-config measured XLA-CPU floor (tools/cpu_floor.py ->
+    # CPU_FLOORS.json): the measured lower bracket for the reference
+    # proxy, reported alongside every number (VERDICT r3 item 5)
+    if tag is not None:
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "CPU_FLOORS.json")
+        try:
+            with open(path) as f:
+                fl = json.load(f).get(tag)
+            if fl:
+                rec["cpu_floor_1core"] = fl["value"]
+                rec["vs_cpu_floor"] = round(mpix_s / fl["value"], 1)
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(rec))
 
 
 def main():
@@ -158,7 +174,7 @@ def main():
         mpix = _timeit_frame(frame_b, (state_b,), 2048 * 1280)
         _report(f"16K equirect (bf16 coeff) -> 2048x1280 rectilinear, "
                 f"fused twining ({len(spread_b)} taps)", mpix,
-                f"{(assigned_b >= 0).mean():.0%} fused")
+                f"{(assigned_b >= 0).mean():.0%} fused", tag="4b")
         del src16, state_b
 
 
@@ -192,7 +208,7 @@ def main():
         mpix = _timeit_frame(frame_c, (state_c,), 2048 * 1280)
         _report(f"16K equirect -> 2048x1280 rectilinear, --twine_pyramid "
                 f"(level {lvl}, {len(spread_c)} taps)", mpix,
-                f"{(assigned_c >= 0).mean():.0%} fused")
+                f"{(assigned_c >= 0).mean():.0%} fused", tag="4b")
         del srcp, state_c
 
 
@@ -206,7 +222,7 @@ def main():
         frame, state, assigned, _p = FP.fused_frame(plan, src, window)
         mpix = _timeit_frame(frame, (state,), 1920 * 1152)
         _report("4K latlon -> 1920x1152 rectilinear bilinear", mpix,
-                f"{(assigned >= 0).mean():.0%} fused")
+                f"{(assigned >= 0).mean():.0%} fused", tag="1")
 
 
     def get_biatan6():
@@ -237,7 +253,7 @@ def main():
         mpix = _timeit_frame(frame, (state,), 1920 * 1152)
         _report("biatan6(fov100) -> 1920x1152 stereographic deg-3 "
                 "(yaw35/pitch20)", mpix,
-                f"{(assigned >= 0).mean():.0%} fused")
+                f"{(assigned >= 0).mean():.0%} fused", tag="3")
 
 
     def cfg_4():
@@ -254,7 +270,7 @@ def main():
         mpix = _timeit_frame(frame, (state,), 2048 * 1280)
         _report(f"8K equirect -> 2048x1280 rectilinear, fused twining "
                 f"({len(spread)} taps)", mpix,
-                f"{(assigned >= 0).mean():.0%} fused")
+                f"{(assigned >= 0).mean():.0%} fused", tag="4")
 
 
     def cfg_5():
@@ -287,7 +303,8 @@ def main():
         mpix = _timeit_frame(frame5, (tuple(states),), 4096 * 2048)
         _report("3-facet voronoi stitch -> 4096x2048 equirect deg-3 "
                 "(one-jit frame)", mpix,
-                f">= {min(fracs):.0%} covered tiles fused per facet")
+                f">= {min(fracs):.0%} covered tiles fused per facet",
+                tag="5")
         del srcs, states
 
 
@@ -310,7 +327,7 @@ def main():
             plan2r, csrc2, (0, 4096, 0, 8192))
         mpix = _timeit_frame(frame, (state,), 8192 * 4096)
         _report("6x2048 cubemap -> 8K equirect deg-3 (reverse headline)",
-                mpix, f"{(assigned >= 0).mean():.0%} fused")
+                mpix, f"{(assigned >= 0).mean():.0%} fused", tag="2r")
 
 
     def cfg_3b():
@@ -323,7 +340,7 @@ def main():
         mpix = _timeit_frame(frame, (state,), 1920 * 1152)
         _report("biatan6(fov100) -> 1920x1152 fisheye(170) deg-3 "
                 "(yaw-25/pitch15)", mpix,
-                f"{(assigned >= 0).mean():.0%} fused")
+                f"{(assigned >= 0).mean():.0%} fused", tag="3b")
 
 
     def cfg_5b():
@@ -351,7 +368,8 @@ def main():
         mpix = _timeit_frame(frame5b, (tuple(states6),), 4096 * 2048)
         _report("6-facet voronoi + lens correction -> 4096x2048 deg-3 "
                 "(one-jit)", mpix,
-                f">= {min(fr6):.0%} covered tiles fused per facet")
+                f">= {min(fr6):.0%} covered tiles fused per facet",
+                tag="5b")
         del srcs6, states6
 
 
@@ -389,7 +407,7 @@ def main():
         mpix = _timeit_frame(wrapped, (sts, ssts, sp, up),
                              4096 * 2048)
         _report("6-facet voronoi stitch + 4-tap twine -> 4096x2048 "
-                "deg-3 (champion-stable one-jit)", mpix)
+                "deg-3 (champion-stable one-jit)", mpix, tag="5d")
         del srcs6, sts, ssts
 
 
@@ -415,7 +433,8 @@ def main():
         frame_h, states_h, assigneds_h, _pl = FP.fused_multi_frame(
             plan_h, srcs_h, (0, 2048, 0, 4096))
         mpix = _timeit_frame(frame_h, (tuple(states_h),), 4096 * 2048)
-        _report("3-bracket HDR merge -> 4096x2048 deg-3 (one-jit)", mpix)
+        _report("3-bracket HDR merge -> 4096x2048 deg-3 (one-jit)", mpix,
+                tag="5c")
 
 
 

@@ -96,13 +96,24 @@ class WindowClass:
     # rows - the column side is already covered by the k_taps drift
     # budget, which tile_stats_range computes over the full footprint.
     u_span: int = 0
+    # separable tensor-grid routing (union-tap kernels only): when the
+    # spread is a full kx x ky grid AND the tile's dvx is identically
+    # zero (no cross-coupling of the y deflection into the x
+    # coordinate - axis-aligned warps like the 16K downscale), the
+    # horizontal tap routing depends only on the grid COLUMN, so it is
+    # computed kx times instead of kx*ky, and the per-tap rank-1
+    # weight update collapses to one outer product per column
+    # (_union_sep_weights). Admission: per-vreg all(dvx == 0), stat 10
+    # of tile_stats_fit_range.
+    sep: bool = False
 
     @property
     def name(self):
         s = f"q{self.shear_q}" if self.shear_q else ""
         u = f"u{self.u_span}" if self.u_span else ""
+        g = "s" if self.sep else ""
         return (f"w{self.win_h}x{self.win_w}r{self.cand_r}"
-                f"c{self.cand_c}k{self.k_taps}{s}{u}")
+                f"c{self.cand_c}k{self.k_taps}{s}{u}{g}")
 
 
 # general local warps (|dy/dx_out| up to ~0.4, sublane x-drift <= 4)
@@ -506,9 +517,95 @@ def _combine_union(cand, wacc, *, degree: int, wc: WindowClass,
     return acc
 
 
+def _union_minima_sep(sx, sy, dux, duy, dvy, spread_ref, kx: int,
+                      ky: int, degree: int):
+    """Tap-base minima for a tensor-grid spread with dvx == 0: the
+    grid contains the (argmin over cx, argmin over cy) combination,
+    and float addition is monotone, so the elementwise minimum over
+    all kx*ky taps equals the minimum-deflection tap's value computed
+    with the same operation order as _tap_coords."""
+    off = degree // 2
+    cx_lo = spread_ref[0]
+    cx_hi = spread_ref[kx - 1]
+    cy_lo = spread_ref[kx]
+    cy_hi = spread_ref[kx + ky - 1]
+    sx_min = sx + jnp.minimum(cx_lo * dux, cx_hi * dux)
+    sy_min = (sy + jnp.minimum(cx_lo * duy, cx_hi * duy)
+              + jnp.minimum(cy_lo * dvy, cy_hi * dvy))
+    bymin = _split(sy_min, degree)[0] - off
+    bxmin = _split(sx_min, degree)[0] - off
+    return bymin, bxmin
+
+
+def _union_sep_weights(sx, sy, dux, duy, dvy, spread_ref, kx: int,
+                       ky: int, bxc_u, m_of, *, degree: int,
+                       wc: WindowClass):
+    """Accumulated (k_taps, n1+u_span) weight planes for a tensor-grid
+    spread on a dvx == 0 tile. The horizontal routing (split + Horner
+    weights + drift selects) depends only on the grid column there, so
+    it runs kx times instead of kx*ky, and the rank-1 weight update
+    becomes one outer product per column against the column's
+    vertically-routed weight planes V. Exact: same taps, same weights
+    as the per-tap loop - only the summation grouping differs (the
+    'block-sum' restructuring of NOTES roadmap 3). ``m_of(by)`` maps
+    the integer row base to the candidate index (plain vs sheared)."""
+    n1 = degree + 1
+    U = wc.u_span
+    off = degree // 2
+    wacc = tuple(tuple(jnp.zeros(sx.shape, jnp.float32)
+                       for _m in range(n1 + U))
+                 for _k in range(wc.k_taps))
+    for i in range(kx):
+        cx_i = spread_ref[i]
+        sxt = sx + cx_i * dux
+        selx, tx = _split(sxt, degree)
+        bx = selx - off
+        delta = bx - bxc_u
+        wx = _weights_poly(tx, degree)
+        wk = []
+        for k in range(wc.k_taps):
+            acc_w = None
+            for j in range(n1):
+                if k - j < 0:
+                    continue
+                acc_w = jnp.where(delta == (k - j), wx[j],
+                                  0.0 if acc_w is None else acc_w)
+            wk.append(acc_w if acc_w is not None
+                      else jnp.zeros(sx.shape, jnp.float32))
+        syt_i = sy + cx_i * duy
+
+        def col_body(j, V):
+            cy_j = spread_ref[kx + j]
+            w_ij = spread_ref[kx + ky + j * kx + i]
+            syt = syt_i + cy_j * dvy
+            sely, ty = _split(syt, degree)
+            by = sely - off
+            wy = _weights_poly(ty, degree)
+            m_t = m_of(by)
+            sel0 = jnp.logical_or(m_t <= 0, m_t > U)
+            sels = [sel0] + [m_t == s for s in range(1, U + 1)]
+            Vl = [None] * (n1 + U)
+            for jj in range(n1):
+                wj = w_ij * wy[jj]
+                for s in range(U + 1):
+                    m = jj + s
+                    contrib = jnp.where(sels[s], wj, 0.0)
+                    Vl[m] = contrib if Vl[m] is None else Vl[m] + contrib
+            return tuple(V[m] + Vl[m] for m in range(n1 + U))
+
+        V0 = tuple(jnp.zeros(sx.shape, jnp.float32)
+                   for _m in range(n1 + U))
+        V = jax.lax.fori_loop(0, ky, col_body, V0)
+        wacc = tuple(
+            tuple(wacc[k][m] + wk[k] * V[m] for m in range(n1 + U))
+            for k in range(wc.k_taps))
+    return wacc
+
+
 def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
                           n_taps: int, win_ref, *, degree: int,
-                          wc: WindowClass, nch: int, rb0, cb0):
+                          wc: WindowClass, nch: int, rb0, cb0,
+                          grid=None):
     """K-tap twined evaluation of one (8, TILE_W) row-block with the
     gather work shared across taps: the column resolve and
     n1 + u_span candidate rows are gathered ONCE per tap column
@@ -520,8 +617,13 @@ def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
     n1 = degree + 1
     U = wc.u_span
 
-    bymin, bxmin = _union_minima(sx, sy, dux, duy, dvx, dvy,
-                                 spread_ref, n_taps, degree)
+    if grid is not None:
+        bymin, bxmin = _union_minima_sep(sx, sy, dux, duy, dvy,
+                                         spread_ref, grid[0], grid[1],
+                                         degree)
+    else:
+        bymin, bxmin = _union_minima(sx, sy, dux, duy, dvx, dvy,
+                                     spread_ref, n_taps, degree)
     bxc_u = jnp.broadcast_to(jnp.min(bxmin, axis=0, keepdims=True),
                              sx.shape)
     if rb0 is None:
@@ -569,6 +671,16 @@ def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
                     v = jnp.where(qb == b, g, v)
                 cand[k][m][ch] = v
 
+    if grid is not None:
+        m_of = lambda by: (jnp.clip(by - rb0, 0,
+                                    8 * wc.cand_r - 1 - degree)
+                           - rl_lo)
+        wacc = _union_sep_weights(sx, sy, dux, duy, dvy, spread_ref,
+                                  grid[0], grid[1], bxc_u, m_of,
+                                  degree=degree, wc=wc)
+        return _combine_union(cand, wacc, degree=degree, wc=wc,
+                              nch=nch)
+
     def tap_body(ti, wacc):
         sxt, syt, w_t = _tap_coords(sx, sy, dux, duy, dvx, dvy,
                                     spread_ref, ti)
@@ -588,7 +700,7 @@ def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
 def _resolve_sheared_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
                            n_taps: int, bands, a_f, b_f, *,
                            degree: int, wc: WindowClass, nch: int,
-                           cb0, col0):
+                           cb0, col0, grid=None):
     """Union-tap variant of _resolve_sheared: column resolve + the
     n1 + u_span candidate band rows gathered once per tap column,
     every twining tap routed through VPU selects. The shear row
@@ -599,8 +711,13 @@ def _resolve_sheared_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
     Q = wc.shear_q
     colb = col0 + cb0
 
-    bymin, bxmin = _union_minima(sx, sy, dux, duy, dvx, dvy,
-                                 spread_ref, n_taps, degree)
+    if grid is not None:
+        bymin, bxmin = _union_minima_sep(sx, sy, dux, duy, dvy,
+                                         spread_ref, grid[0], grid[1],
+                                         degree)
+    else:
+        bymin, bxmin = _union_minima(sx, sy, dux, duy, dvx, dvy,
+                                     spread_ref, n_taps, degree)
     bxc_u = jnp.broadcast_to(jnp.min(bxmin, axis=0, keepdims=True),
                              sx.shape)
     lxc = jnp.clip(bxc_u - cb0, 0, 128 * wc.cand_c - 1)
@@ -635,6 +752,14 @@ def _resolve_sheared_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
                     g = jnp.take_along_axis(cbs[ch][q], rr_m, axis=0)
                     v = jnp.where(qb_m == q, g, v)
                 cand[k][m][ch] = v
+
+    if grid is not None:
+        wacc = _union_sep_weights(sx, sy, dux, duy, dvy, spread_ref,
+                                  grid[0], grid[1], bxc_u,
+                                  lambda by: by - bymin,
+                                  degree=degree, wc=wc)
+        return _combine_union(cand, wacc, degree=degree, wc=wc,
+                              nch=nch)
 
     def tap_body(ti, wacc):
         sxt, syt, w_t = _tap_coords(sx, sy, dux, duy, dvx, dvy,
@@ -1289,7 +1414,8 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
                                degree: int, wc: WindowClass, nch: int,
                                n_taps: int, nt: int, dbuf: bool,
                                stride: int, tmode: str,
-                               consts: tuple, smode: str = "sph"):
+                               consts: tuple, smode: str = "sph",
+                               grid=None):
     """Twined variant of _inline_kernel_into: the center and the two
     DERIV_BIAS-biased coordinate grids are computed in-kernel from the
     doubled axis-feature sets (xi/yi = 1), differenced into the
@@ -1344,12 +1470,13 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
                 acc = _resolve_sheared_union(
                     sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
                     bands, a_f, b_f, degree=degree, wc=wc, nch=nch,
-                    cb0=cb0, col0=tiles_ref[t * stride + 5])
+                    cb0=cb0, col0=tiles_ref[t * stride + 5],
+                    grid=grid)
             else:
                 acc = _eval_row_block_union(
                     sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
                     win, degree=degree, wc=wc, nch=nch, rb0=rb0,
-                    cb0=cb0)
+                    cb0=cb0, grid=grid)
             for ch in range(nch):
                 out_ref[ch, sl8, :] = acc[ch]
             return _
@@ -1383,7 +1510,7 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
 @functools.partial(jax.jit, static_argnames=("degree", "wc",
                                              "interpret", "n_taps",
                                              "tmode", "consts",
-                                             "smode"))
+                                             "smode", "grid"))
 def resample_inline_twined_into(canvas: jnp.ndarray,
                                 coeff: jnp.ndarray,
                                 tiles: jnp.ndarray,
@@ -1394,8 +1521,8 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
                                 degree: int, n_taps: int, tmode: str,
                                 consts: tuple, smode: str = "sph",
                                 wc: WindowClass = LOCAL,
-                                interpret: bool = False
-                                ) -> jnp.ndarray:
+                                interpret: bool = False,
+                                grid=None) -> jnp.ndarray:
     """resample_twined_into with the coordinate chain (center + both
     derivative grids) fused into the kernel. ``xfeat``/``yfeat`` carry
     DOUBLED feature sets - [center features..., DERIV_BIAS-biased
@@ -1453,7 +1580,7 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
                              degree=degree, wc=wc, nch=nch,
                              n_taps=n_taps, nt=nt, dbuf=dbuf,
                              stride=stride, tmode=tmode,
-                             consts=consts, smode=smode)
+                             consts=consts, smode=smode, grid=grid)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
@@ -1477,9 +1604,14 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                         *rest,
                         degree: int, wc: WindowClass, nch: int,
                         n_taps: int, nt: int, dbuf: bool,
-                        stride: int, merge: bool = False):
+                        stride: int, merge: bool = False,
+                        grid=None):
     # merge: see _resample_kernel_into - mask + canvas-in blocks for
     # per-pixel overlay of face-boundary tiles
+    # grid: static (kx, ky) when the spread is a separable tensor
+    # grid and the pass's tiles have dvx == 0 (WindowClass.sep); the
+    # spread_ref layout is then [cxs(kx), cys(ky), w(ky*kx)] instead
+    # of (n_taps, 3) triplets
     if merge:
         mask_ref, coeff_ref, cin_ref, out_ref, *scratch = rest
     else:
@@ -1565,10 +1697,12 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                 return _resolve_sheared_union(
                     sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
                     bands, a_f, b_f, degree=degree, wc=wc, nch=nch,
-                    cb0=cb0, col0=tiles_ref[t * stride + 5])
+                    cb0=cb0, col0=tiles_ref[t * stride + 5],
+                    grid=grid)
             return _eval_row_block_union(
                 sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps, win,
-                degree=degree, wc=wc, nch=nch, rb0=rb0, cb0=cb0)
+                degree=degree, wc=wc, nch=nch, rb0=rb0, cb0=cb0,
+                grid=grid)
 
         def tap_body(ti, acc):
             cx_t = spread_ref[ti * 3]
@@ -1619,15 +1753,18 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
 
 
 @functools.partial(jax.jit, static_argnames=("degree", "n_taps", "wc",
-                                             "interpret"))
+                                             "interpret", "grid"))
 def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
                          tiles, spread, *, degree: int, n_taps: int,
                          wc: WindowClass = LOCAL,
                          interpret: bool = False,
-                         merge_mask: jnp.ndarray = None
-                         ) -> jnp.ndarray:
+                         merge_mask: jnp.ndarray = None,
+                         grid=None) -> jnp.ndarray:
     """Compact-grid twined resampling into a donated canvas (see
-    resample_planar_into for the tile-row layout and merge_mask)."""
+    resample_planar_into for the tile-row layout and merge_mask).
+    ``grid`` (static (kx, ky), requires wc.sep) switches to the
+    separable tensor-grid routing; ``spread`` is then the flat
+    [cxs, cys, w row-major] layout."""
     nch, hp, wp = coeff.shape
     ha, wa = aligned_dims(hp, wp, wc)
     if (ha, wa) != (hp, wp):
@@ -1686,7 +1823,8 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
     )
     kern = functools.partial(_twined_kernel_into, degree=degree,
                              wc=wc, nch=nch, n_taps=n_taps, nt=nt,
-                             dbuf=dbuf, stride=stride, merge=merge)
+                             dbuf=dbuf, stride=stride, merge=merge,
+                             grid=grid)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
@@ -2009,14 +2147,24 @@ def tile_stats_fit(sx: jnp.ndarray, sy: jnp.ndarray, degree: int):
 
 
 @functools.partial(jax.jit, static_argnames=("degree",))
-def tile_stats_fit_range(sx, sy, mx, my, degree: int):
+def tile_stats_fit_range(sx, sy, mx, my, degree: int, dvx=None):
     """tile_stats_range plus the shear fit of tile_stats_fit, for the
     twined kernel: range stats cover the full per-pixel tap footprint
     [c - margin, c + margin], the fit is computed on the center
     coordinates and its residual bounds widened by the per-vreg margin
     maxima (rows: my; columns: mx scaled by the fitted slope) plus the
     floor rounding slack - so every deflected tap's residual is
-    guaranteed inside the shipped bands."""
+    guaranteed inside the shipped bands.
+
+    ``dvx`` adds stat 10: the per-vreg float32 max of |dvx| as scaled
+    by the caller - the admission measure of the separable tensor-grid
+    classes (WindowClass.sep). The planner passes
+    ``|dvx| * cmax_y / (4 ulp of the table width)`` so classify_tiles'
+    ``<= 1`` test bounds the x-deflection the sep kernel drops at 4
+    ulps of the coordinate scale: for an axis-aligned warp the
+    analytic dvx is zero and the XLA pass's value is pure float noise
+    (~0.5 ulp of width measured), the same error class as the two
+    floor() evaluations the shear budgets already carry slack for."""
     rng = tile_stats_range(sx - mx, sx + mx, sy - my, sy + my)
     fit = tile_stats_fit(sx, sy, degree)
     h, w = sx.shape
@@ -2038,7 +2186,10 @@ def tile_stats_fit_range(sx, sy, mx, my, degree: int):
     rspan = (jnp.floor(sy + my + half)
              - jnp.floor(sy - my + half)).astype(jnp.int32)
     rspan_v = jnp.max(v(rspan), axis=(1, 3))
-    return rng + (a_fix, b_fix, rlo - slack, rhi + slack, rspan_v)
+    out = rng + (a_fix, b_fix, rlo - slack, rhi + slack, rspan_v)
+    if dvx is not None:
+        out = out + (jnp.max(jnp.abs(v(dvx)), axis=(1, 3)),)
+    return out
 
 
 @jax.jit
@@ -2105,6 +2256,14 @@ def classify_tiles(stats, hp: int, wp: int, degree: int,
         assert len(stats) >= 10, \
             "u_span class needs tile_stats_fit_range"
         vreg_ok &= np.asarray(stats[9]) <= wc.u_span
+    if wc.sep:
+        # separable tensor-grid routing drops the y-deflection's
+        # x-coupling; admissible while the dropped deflection stays
+        # within the caller's scaling (<= 4 ulps of the table width,
+        # see tile_stats_fit_range)
+        assert len(stats) >= 11, \
+            "sep class needs tile_stats_fit_range with dvx"
+        vreg_ok &= np.asarray(stats[10]) <= 1.0
     t_vreg_ok = tile_view(vreg_ok).all(axis=(1, 3))
 
     fast = fits & t_vreg_ok

@@ -92,6 +92,17 @@ def _same_geom(a, b):
             == (b.win_h, b.win_w, b.cand_r, b.cand_c, b.shear_q))
 
 
+def _want_unroll(wc):
+    """Full row-loop unroll, except for the huge-candidate DIAG
+    budgets (code size) and SHEAR4 (historic Mosaic lowering trouble).
+    Keyed on budgets, not class identity, so pass-fitted shrunk
+    classes (_shrink_passes) inherit the decision of the size they
+    actually are."""
+    return not (wc.cand_r >= PR.DIAG.cand_r
+                or _same_geom(wc, PR.DIAG)
+                or _same_geom(wc, PR.SHEAR4))
+
+
 def eligible(plan, sources, allow_spread: bool = False) -> bool:
     if len(sources) != 1:
         return False
@@ -161,7 +172,15 @@ def _tile_cost_cycles(wc, degree: int, nch: int, itemsize: int,
         else:
             g = k * (wc.cand_r * wc.cand_c
                      + (n1 + wc.u_span) * wc.cand_r) * nch
-        g += n_taps * (n1 * (wc.u_span + 1) + k * (n1 + wc.u_span))
+        if wc.sep:
+            # separable grid: horizontal routing + outer product per
+            # grid COLUMN (~sqrt(n_taps)); vertical routing unchanged
+            kx = max(1, int(round(math.sqrt(n_taps))))
+            g += (n_taps * n1 * (wc.u_span + 1)
+                  + kx * k * (n1 + wc.u_span))
+        else:
+            g += n_taps * (n1 * (wc.u_span + 1)
+                           + k * (n1 + wc.u_span))
     elif wc.shear_q:
         g = (wc.shear_q * wc.cand_c * wc.cand_r
              + k * (wc.shear_q * wc.cand_c + n1 * wc.shear_q)) * nch
@@ -497,7 +516,9 @@ def _patch_tiles_batch(img, coeff, sx, sy, mask, origins, degree,
                                   (PR.TILE_H, PR.TILE_W))
         tile = _finish(jnp.moveaxis(tile, -1, 0), m, nch_out,
                        brighten)
-        return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
+        zero = jnp.zeros((), oy.dtype)  # x64 mode: literals widen
+        return jax.lax.dynamic_update_slice(im, tile,
+                                            (oy, ox, zero)), 0
 
     img, _ = jax.lax.scan(body, img, origins)
     return img
@@ -774,7 +795,202 @@ def _consolidate_passes(passes, skeys, assigned, src, stats_cache,
         passes = [passes[k] for k in keep] \
             + [(name, wcj, box, tiles, merge_flag)]
         skeys = [skeys[k] for k in keep] + [skey]
-    return passes, assigned
+    return passes, assigned, skeys
+
+
+def _sep_scale(spl, cmy: float) -> float:
+    """Scaling for tile_stats_fit_range's dvx stat: the sep classes'
+    admission bounds the DROPPED x-deflection ``cmax_y * |dvx|`` at 4
+    ulps of the coefficient-table width (the float-noise magnitude of
+    an analytically-zero dvx through the coordinate pass)."""
+    wp = spl.coeff.shape[1]
+    return float(cmy) / (4.0 * wp * 2.0 ** -23 + 1e-30)
+
+
+def _spread_grid(spread):
+    """(cxs, cys, w_row_major) when the bias-folded spread enumerates
+    a full tensor grid (make_spread's box and untruncated gaussian
+    kernels do; thresholded gaussians lose corner taps and return
+    None). Weights stay per-tap - only the POSITIONS must factor, so
+    the separable routing is exact for any weight profile."""
+    cxs = sorted({t[0] for t in spread})
+    cys = sorted({t[1] for t in spread})
+    if len(cxs) * len(cys) != len(spread) or len(spread) < 4:
+        return None
+    w = {}
+    for cx, cy, wt in spread:
+        if (cx, cy) in w:
+            return None
+        w[(cx, cy)] = wt
+    if len(w) != len(spread):
+        return None
+    return (tuple(cxs), tuple(cys),
+            tuple(w[(cx, cy)] for cy in cys for cx in cxs))
+
+
+def _rebuild_tile_rows(stats, tyx, box, origins, degree, wc):
+    """Compact tile rows (incl. the extended per-row-block columns)
+    for the given out-tile coordinates under window class ``wc``.
+    ``tyx`` is int (nt, 2) out_by/out_bx; ``origins`` is the flat
+    classify_tiles result over ``box``."""
+    bty0, _bty1, btx0, btx1 = box
+    bntx = btx1 - btx0
+    iby = tyx[:, 0] - bty0
+    ibx = tyx[:, 1] - btx0
+    org = origins[iby * bntx + ibx]
+    tiles = np.column_stack(
+        [iby, ibx, tyx[:, 0], tyx[:, 1],
+         org[:, 0], org[:, 1]]).astype(np.int32)
+    if wc.shear_q:
+        ext = PR.row_block_shear(stats, tiles, degree, wc)
+    else:
+        ext = PR.row_block_origins(stats, tiles, degree, wc)
+    return np.concatenate([tiles, ext], axis=1)
+
+
+def _fitted_class(wc, stats, tiles, degree):
+    """Shrink ``wc``'s static budgets to what these tiles' measured
+    per-vreg statistics actually need - the same admission formulas
+    classify_tiles applies, evaluated at equality. Per-tile cost is
+    roughly linear in cand_r*cand_c + k_taps*(n1+u_span) gathers and
+    the window DMA bytes, while the class ladder's budgets are sized
+    for the worst admitted tile - a smooth minified frame typically
+    needs half of each. Every shrunk field keeps the original class's
+    admission criteria satisfied (verified by re-classification in
+    _shrink_passes), so values are unchanged; only dead candidate
+    blocks, dead tap columns and dead window area disappear."""
+    NV = TILE_H_VREGS
+    vr = (tiles[:, 0:1] * NV + np.arange(NV)[None, :])
+    vc = tiles[:, 1:2]
+    min_y, max_y, min_x, max_x, drift = [np.asarray(s)[vr, vc]
+                                         for s in stats[:5]]
+    off = degree // 2
+    k_need = int(np.floor(drift).max()) + degree + 2
+    span_y = (np.floor(max_y)
+              - ((np.floor(min_y).astype(np.int64) - off) // 8) * 8
+              - off + degree)
+    span_x = (np.floor(max_x)
+              - ((np.floor(min_x).astype(np.int64) - off) // 128) * 128
+              - off + degree)
+    cand_r = int(span_y.max() + degree) // 8 + 1
+    cand_c = int(span_x.max()) // 128 + 1
+    # per-tile window span (worst-case 8/128 alignment of the origin)
+    t_lo_y = np.floor(min_y.min(axis=1)).astype(np.int64) - off
+    t_hi_y = np.floor(max_y.max(axis=1)).astype(np.int64) - off + degree
+    t_lo_x = np.floor(min_x.min(axis=1)).astype(np.int64) - off
+    t_hi_x = np.floor(max_x.max(axis=1)).astype(np.int64) - off + degree
+    win_h = int((t_hi_y - (t_lo_y // 8) * 8).max()) + 1
+    win_w = int((t_hi_x - (t_lo_x // 128) * 128).max()) + 1
+    q = 0
+    if wc.shear_q:
+        rlo = np.asarray(stats[7])[vr, vc]
+        rhi = np.asarray(stats[8])[vr, vc]
+        q = (int((rhi - rlo).max()) + degree + 3 + 7) // 8
+    u = 0
+    if wc.u_span:
+        u = max(1, int(np.asarray(stats[9])[vr, vc].max()))
+    cand_r = max(1, min(cand_r, wc.cand_r))
+    cand_c = max(1, min(cand_c, wc.cand_c))
+    win_h = min(max(_round_up(win_h, 8), 8 * cand_r), wc.win_h)
+    win_w = min(max(_round_up(win_w, 128), 128 * cand_c), wc.win_w)
+    return dataclasses.replace(
+        wc, win_h=win_h, win_w=win_w, cand_r=cand_r, cand_c=cand_c,
+        k_taps=max(degree + 2, min(k_need, wc.k_taps)),
+        shear_q=max(1, min(q, wc.shear_q)) if wc.shear_q else 0,
+        u_span=min(u, wc.u_span) if wc.u_span else 0)
+
+
+def _shrink_passes(passes, skeys, assigned, src, stats_cache,
+                   n_taps: int = 0):
+    """Post-planning class fitting: replace each pass's window class
+    with the fitted shrink of _fitted_class, re-classify under it (the
+    authoritative admission check - origin clipping near array edges
+    can interact with the smaller window), and rebuild the tile rows.
+    Passes whose tiles no longer all classify keep the original class
+    (never happens for interior tiles; cheap insurance near edges).
+
+    Additionally SPLITS a pass into fitted-cost buckets when the cost
+    model says the bucket savings beat the extra pallas_call launch:
+    a frame's worst tile (a pole/corner) otherwise dictates the whole
+    pass's candidate budgets - e.g. a minified frame's corner tiles
+    need cand_r ~2x the interior's. The inverse of
+    _consolidate_passes, priced by the same constants."""
+    nch = src.spl.coeff.shape[-1]
+    itemsize = src.spl.coeff.dtype.itemsize
+    out = []
+    assigned = assigned.copy()
+    # merge tiles appear in several passes; keep the pre-shrink
+    # convention that `assigned` records the FIRST owning pass
+    claimed = np.zeros(assigned.shape, bool)
+
+    def emit(name, wc, box, tiles, merge, stats, spl):
+        fit = _fitted_class(wc, stats, tiles, spl.degree)
+        if fit != wc:
+            origins, fast = PR.classify_tiles(
+                stats, spl.coeff.shape[0], spl.coeff.shape[1],
+                spl.degree, fit)
+            iby = tiles[:, 2] - box[0]
+            ibx = tiles[:, 3] - box[2]
+            if not fast[iby, ibx].all():
+                fit = wc
+            else:
+                tiles = _rebuild_tile_rows(stats, tiles[:, 2:4], box,
+                                           origins, spl.degree, fit)
+        t_y, t_x = tiles[:, 2], tiles[:, 3]
+        fresh = ~claimed[t_y, t_x]
+        assigned[t_y[fresh], t_x[fresh]] = len(out)
+        claimed[t_y, t_x] = True
+        out.append((name, fit, box, tiles, merge))
+
+    for (name, wc, box, tiles, merge), skey in zip(passes, skeys):
+        stats = stats_cache.get(skey)
+        if stats is None or tiles.shape[0] == 0:
+            out.append((name, wc, box, tiles, merge))
+            continue
+        spl = _variant_spline(src, name)
+        nt = tiles.shape[0]
+        if nt < 6:
+            emit(name, wc, box, tiles, merge, stats, spl)
+            continue
+        # cost-bucket split: order tiles by their own fitted cost and
+        # try quartile cuts; accept the best net-positive split
+        fit_all = _fitted_class(wc, stats, tiles, spl.degree)
+        cost_all = nt * _tile_cost_cycles(fit_all, spl.degree, nch,
+                                          itemsize, n_taps)
+        per = np.asarray([
+            _tile_cost_cycles(
+                _fitted_class(wc, stats, tiles[i:i + 1], spl.degree),
+                spl.degree, nch, itemsize, n_taps)
+            for i in range(nt)])
+        order = np.argsort(per)
+        best = None
+        for frac in (0.25, 0.5, 0.75):
+            cut = int(nt * frac)
+            if cut == 0 or cut == nt:
+                continue
+            a = tiles[order[:cut]]
+            b = tiles[order[cut:]]
+            fa = _fitted_class(wc, stats, a, spl.degree)
+            fb = _fitted_class(wc, stats, b, spl.degree)
+            cost = (_LAUNCH_CYCLES
+                    + cut * _tile_cost_cycles(fa, spl.degree, nch,
+                                              itemsize, n_taps)
+                    + (nt - cut) * _tile_cost_cycles(
+                        fb, spl.degree, nch, itemsize, n_taps))
+            if cost < cost_all and (best is None or cost < best[0]):
+                best = (cost, cut)
+        if best is None:
+            emit(name, wc, box, tiles, merge, stats, spl)
+            continue
+        _c, cut = best
+        emit(name, wc, box, tiles[np.sort(order[:cut])], merge,
+             stats, spl)
+        emit(name, wc, box, tiles[np.sort(order[cut:])], merge,
+             stats, spl)
+    return out, assigned
+
+
+TILE_H_VREGS = PR.TILE_H // 8
 
 
 def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
@@ -857,6 +1073,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 shifted.append(dataclasses.replace(wc, k_taps=k))
             shifted.append(wc)
         classes = tuple(shifted)
+    grid = _spread_grid(spread) if spread is not None else None
     if spread is not None and len(spread) > 1 and want_union:
         # union-tap variants first: same geometry plus the per-pixel
         # row-footprint budget; admitted tiles pay the gather chain
@@ -864,14 +1081,24 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
         # row-span budget (strong minification margins) keep the
         # per-tap original. Pertap frames pass want_union=False: their
         # kernels run single-tap, where a u-variant only splits tiles
-        # into an extra pallas_call for identical work.
+        # into an extra pallas_call for identical work. When the
+        # spread is a tensor grid, the separable (sep) variant of each
+        # u-class goes first: strictly cheaper routing, admitted only
+        # on dvx == 0 tiles (stat 10).
         uni = []
+
+        def u_variants(wc, u):
+            if grid is not None:
+                uni.append(dataclasses.replace(wc, u_span=u,
+                                               sep=True))
+            uni.append(dataclasses.replace(wc, u_span=u))
+
         for wc in classes:
-            uni.append(dataclasses.replace(wc, u_span=2))
+            u_variants(wc, 2)
             if wc.cand_r >= 8:
                 # roomy-window classes also try a deeper span before
                 # giving up (heavy twining: 16-tap minified configs)
-                uni.append(dataclasses.replace(wc, u_span=6))
+                u_variants(wc, 6)
             uni.append(wc)
         classes = tuple(uni)
     _last_resort = (PR.SHEAR_DIAG, PR.SHEAR_STEEP, PR.STEEP, PR.DIAG)
@@ -916,8 +1143,9 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 cmy = max(abs(c[1]) for c in spread)
                 mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
                 my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
-                raw = PR.tile_stats_fit_range(c0[0], c0[1], mx, my,
-                                              spl.degree)
+                raw = PR.tile_stats_fit_range(
+                    c0[0], c0[1], mx, my, spl.degree,
+                    dvx=dvx * _sep_scale(spl, cmy))
             stats_cache[key] = [np.asarray(s) for s in raw]
         return stats_cache[key]
 
@@ -948,8 +1176,9 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 cmy = max(abs(c[1]) for c in spread)
                 mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
                 my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
-                raw = PR.tile_stats_fit_range(c0[0], c0[1], mx, my,
-                                              spl.degree)
+                raw = PR.tile_stats_fit_range(
+                    c0[0], c0[1], mx, my, spl.degree,
+                    dvx=dvx * _sep_scale(spl, cmy))
             stats_cache[name, box] = [np.asarray(s) for s in raw]
         stats = stats_cache[name, box]
         bty0, bty1, btx0, btx1 = box
@@ -1112,7 +1341,11 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 passes.append((name, wc, box, tiles, True))
                 skeys.append((name, box, "dom"))
     if os.environ.get("ENVUTIL_NO_CONSOLIDATE") != "1":
-        passes, assigned = _consolidate_passes(
+        passes, assigned, skeys = _consolidate_passes(
+            passes, skeys, assigned, src, stats_cache,
+            len(spread) if spread is not None else 0)
+    if os.environ.get("ENVUTIL_NO_SHRINK") != "1":
+        passes, assigned = _shrink_passes(
             passes, skeys, assigned, src, stats_cache,
             len(spread) if spread is not None else 0)
     return passes, assigned
@@ -1219,6 +1452,12 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     elif spread is not None:
         state["spread"] = jnp.asarray(
             np.asarray(spread, np.float32).reshape(-1))
+    sgrid_k = None
+    if spread is not None and any(p[1].sep for p in passes):
+        cxs, cys, wg = _spread_grid(spread)
+        sgrid_k = (len(cxs), len(cys))
+        state["spread_sep"] = jnp.asarray(
+            np.asarray(cxs + cys + wg, np.float32))
     state["inline"] = {}
     inline_info = {}
     for pi, (name, wc, box, tiles, merge) in enumerate(passes):
@@ -1297,15 +1536,15 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                         canvas, st["coeffs"][name], st["tiles"][pi],
                         fcs, xfeat, yfeat, bm, eps, degree=degree,
                         tmode=tmode, consts=consts, smode=smode,
-                        wc=wc,
-                        unroll=not (_same_geom(wc, PR.DIAG)
-                                    or _same_geom(wc, PR.SHEAR4)))
+                        wc=wc, unroll=_want_unroll(wc))
                 else:
+                    sp = st["spread_sep"] if wc.sep else st["spread"]
                     canvas = PR.resample_inline_twined_into(
                         canvas, st["coeffs"][name], st["tiles"][pi],
-                        fcs, xfeat, yfeat, bm, st["spread"], eps,
+                        fcs, xfeat, yfeat, bm, sp, eps,
                         degree=degree, n_taps=n_taps, tmode=tmode,
-                        consts=consts, smode=smode, wc=wc)
+                        consts=consts, smode=smode, wc=wc,
+                        grid=sgrid_k if wc.sep else None)
                 continue
             bwin = _box_window(window, box)
             c0 = _coords(geom, bwin, name, st["src"], fi, (0.0, 0.0),
@@ -1331,8 +1570,7 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                 canvas = PR.resample_planar_into(
                     canvas, st["coeffs"][name], sx + eps, sy,
                     st["tiles"][pi], degree=degree, wc=wc,
-                    unroll=not (_same_geom(wc, PR.DIAG)
-                                or _same_geom(wc, PR.SHEAR4)),
+                    unroll=_want_unroll(wc),
                     merge_mask=mm)
             else:
                 fmk = m if merge else None
@@ -1344,11 +1582,13 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                               dom_neutral=merge, fill_mask=fmk)
                 dux, dvx = _deriv(sx, c10[0], c01[0])
                 duy, dvy = _deriv(sy, c10[1], c01[1])
+                sp = st["spread_sep"] if wc.sep else st["spread"]
                 canvas = PR.resample_twined_into(
                     canvas, st["coeffs"][name], sx + eps, sy,
                     dux, duy, dvx, dvy, st["tiles"][pi],
-                    st["spread"], degree=degree, n_taps=n_taps,
-                    wc=wc, merge_mask=mm)
+                    sp, degree=degree, n_taps=n_taps,
+                    wc=wc, merge_mask=mm,
+                    grid=sgrid_k if wc.sep else None)
         return canvas, mask0
 
     def masked(st, canvas, mask0):
@@ -1418,38 +1658,57 @@ _MULTI_CACHE = {}
 _PERTAP_CACHE = {}
 
 
-def fused_multi_frame(plan, sources, window, classes=DEFAULT_CLASSES):
+def fused_multi_frame(plan, sources, window, classes=DEFAULT_CLASSES,
+                      preplanned_list=None):
     """One-jit multi-facet frame: every facet's fused kernel passes,
-    its validity mask and voronoi score, and the synopsis combine in a
-    single compiled program - one device dispatch per frame instead of
-    per-facet frame + mask + combine dispatches (which dominate
-    through a remote device tunnel). The per-facet mask coordinates
-    CSE with the frame's own coordinate passes inside the one program.
+    its validity mask and voronoi score, the exact XLA patches of any
+    unfused tiles, and the synopsis combine in a single compiled
+    program - one device dispatch per frame instead of per-facet
+    frame + mask + patch + combine dispatches (which dominate through
+    a remote device tunnel). The per-facet mask coordinates CSE with
+    the frame's own coordinate passes inside the one program.
+
+    ``preplanned_list`` (one (passes, assigned) per facet) bypasses
+    the planner - the --mesh path plans once globally and slices per
+    band (split_passes_by_bands), so every tile keeps its
+    single-device treatment on any band decomposition.
 
     Returns (fn, states, assigneds, passes_list); ``fn(states, eps)``
-    yields the combined (H, W, nch) image. Only valid when every
-    covered tile of every facet is fused (callers must check
-    ``assigneds`` and fall back otherwise)."""
+    yields the combined (H, W, nch) image. Unfused (-1) tiles are
+    patched in-program via the batched XLA tile scan; callers should
+    still decline facets with *no* fused coverage (the scan is ~100x
+    the kernel rate)."""
     geom = _geom_static(plan)
     frames, states, assigneds, passes_list, keys = [], [], [], [], []
+    bads = []
     for fi, src in enumerate(sources):
+        pp = preplanned_list[fi] if preplanned_list is not None \
+            else None
         frame, st, assigned, passes, key = _frame_builder(
-            plan, src, window, classes, fi=fi)
+            plan, src, window, classes, fi=fi, preplanned=pp)
         frames.append(frame)
         states.append(st)
         assigneds.append(assigned)
         passes_list.append(passes)
         keys.append(key)
+        bads.append(tuple(map(tuple, np.argwhere(assigned == -1))))
 
     statics = tuple(src.static for src in sources)
+    degrees = tuple(src.spl.degree for src in sources)
+    brightens = tuple(float(src.static.brighten) for src in sources)
 
     def combined(sts, eps):
         pxs, masks, scores = [], [], []
         for fi in range(len(frames)):
             img = frames[fi](sts[fi], eps)
-            _sx, _sy, m, z = _coords(geom, window, "orig",
-                                     sts[fi]["src"], fi, (0.0, 0.0),
-                                     sts[fi]["basis"])
+            sx, sy, m, z = _coords(geom, window, "orig",
+                                   sts[fi]["src"], fi, (0.0, 0.0),
+                                   sts[fi]["basis"])
+            if bads[fi]:
+                img = _patch_tiles_batch(
+                    img, sts[fi]["src"].spl.coeff, sx, sy, m,
+                    _bad_origins(np.asarray(bads[fi])), degrees[fi],
+                    plan.nchannels, brightens[fi])
             pxs.append(img)
             masks.append(m)
             scores.append(jnp.where(
@@ -1458,7 +1717,8 @@ def fused_multi_frame(plan, sources, window, classes=DEFAULT_CLASSES):
         return _combine_stack(plan, sources, pxs, masks, scores)
 
     mkey = (tuple(keys), plan.synopsis, plan.nchannels,
-            tuple(float(s.recip_step) for s in statics))
+            tuple(float(s.recip_step) for s in statics),
+            tuple(bads), degrees, brightens)
     fn = _MULTI_CACHE.get(mkey)
     if fn is None:
         fn = _MULTI_CACHE[mkey] = jax.jit(combined)
@@ -1493,7 +1753,9 @@ def _patch_tiles_batch_twined(img, coeff, sx, sy, dux, duy, dvx, dvy,
             tile = E.repix(tile, nch_out)
             if brighten != 1.0:
                 tile = E.apply_brighten(tile, brighten)
-        return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
+        zero = jnp.zeros((), oy.dtype)
+        return jax.lax.dynamic_update_slice(im, tile,
+                                            (oy, ox, zero)), 0
 
     img, _ = jax.lax.scan(body, img, origins)
     return img
@@ -1559,7 +1821,9 @@ def _patch_tiles_batch_tap(img, coeff, sx, sy, dux, duy, dvx, dvy,
         tile = E.repix(tile, nch_out)
         if brighten != 1.0:
             tile = E.apply_brighten(tile, brighten)
-        return jax.lax.dynamic_update_slice(im, tile, (oy, ox, 0)), 0
+        zero = jnp.zeros((), oy.dtype)
+        return jax.lax.dynamic_update_slice(im, tile,
+                                            (oy, ox, zero)), 0
 
     img, _ = jax.lax.scan(body, img, origins)
     return img
@@ -1857,6 +2121,13 @@ def split_passes_by_bands(passes, assigned, n_bands: int):
     return out
 
 
+def _band_windows(window, mesh_n: int):
+    band_rows = (window[1] - window[0]) // mesh_n
+    return [(window[0] + k * band_rows,
+             window[0] + (k + 1) * band_rows, window[2], window[3])
+            for k in range(mesh_n)]
+
+
 def render_fast_mesh(plan, sources, mesh_n: int, verbose: bool = False,
                      classes=None) -> Optional[np.ndarray]:
     """--mesh N through the FUSED kernel: the same Pallas pass
@@ -1866,14 +2137,16 @@ def render_fast_mesh(plan, sources, mesh_n: int, verbose: bool = False,
     (wielding.h:270-451) ridden on the device mesh with zero
     communication (sources replicated per device). Per-tile treatment
     is identical to single-device (split_passes_by_bands), so the
-    composite is bit-equal to render_fast; XLA-fallback tiles are
-    patched per band on the band's device. Returns None when the
+    composite is bit-equal to the single-device fast paths;
+    XLA-fallback tiles are patched per band on the band's device.
+
+    Covers the full fast-path family (VERDICT r3 item 2): solo frames,
+    twined solo frames (full-cover and partial core/band), multi-facet
+    stitches (one-jit per band incl. patches), and twined multi-facet
+    stitches (champion-stable per-tap frames - stability analyzed
+    once globally, plans band-sliced). Returns None when the
     configuration can't band-decompose (caller falls back to the XLA
     sharded render)."""
-    if plan.spread is not None or len(sources) != 1 \
-            or not eligible(plan, sources):
-        return None
-    src = sources[0]
     devices = jax.devices()
     if len(devices) < mesh_n:
         return None
@@ -1891,9 +2164,52 @@ def render_fast_mesh(plan, sources, mesh_n: int, verbose: bool = False,
                   f"{mesh_n} bands; using the XLA sharded render")
         return None
     window = (y0, y0 + ph, x0, x0 + pw)
+
+    if len(sources) == 1:
+        src = sources[0]
+        if plan.spread is None:
+            if not eligible(plan, sources):
+                return None
+            img = _mesh_solo(plan, src, window, mesh_n, devices,
+                             verbose, classes)
+        else:
+            if not eligible(plan, sources, allow_spread=True):
+                return None
+            full_cover = (src.static.kind == "cubemap"
+                          or src.static.full_fisheye
+                          or (src.spl is not None
+                              and src.spl.spherical))
+            if full_cover:
+                img = _mesh_solo_twined(plan, src, window, mesh_n,
+                                        devices, verbose, classes)
+            else:
+                img = _mesh_solo_twined_partial(plan, src, window,
+                                                mesh_n, devices,
+                                                verbose, classes)
+    else:
+        if not _eligible_multi(plan, sources):
+            return None
+        if plan.spread is None:
+            img = _mesh_multi(plan, sources, window, mesh_n, devices,
+                              verbose, classes or DEFAULT_CLASSES)
+        else:
+            img = _mesh_multi_pertap(plan, sources, window, mesh_n,
+                                     devices, verbose,
+                                     classes or DEFAULT_CLASSES)
+    if img is None:
+        return None
+    return img[:out_h, :out_w]
+
+
+def _gather_bands(outs) -> np.ndarray:
+    return np.concatenate(
+        [np.asarray(jax.device_get(o), np.float32) for o in outs],
+        axis=0)
+
+
+def _mesh_solo(plan, src, window, mesh_n, devices, verbose, classes):
     if classes is None:
         classes = select_classes(plan, src, window, verbose=verbose)
-
     passes, assigned = plan_passes(plan, src, window, classes)
     n_fast = int((assigned >= 0).sum())
     if n_fast == 0:
@@ -1908,12 +2224,10 @@ def render_fast_mesh(plan, sources, mesh_n: int, verbose: bool = False,
               f" over {mesh_n} devices")
 
     geom = _geom_static(plan)
-    band_rows = ph // mesh_n
     bands = split_passes_by_bands(passes, assigned, mesh_n)
     outs = []
-    for k, (passes_b, a_b) in enumerate(bands):
-        wb = (window[0] + k * band_rows,
-              window[0] + (k + 1) * band_rows, window[2], window[3])
+    for k, ((passes_b, a_b), wb) in enumerate(
+            zip(bands, _band_windows(window, mesh_n))):
         frame_fn, state, a2, _p = fused_frame(
             plan, src, wb, classes, preplanned=(passes_b, a_b))
         state_k = jax.device_put(state, devices[k])
@@ -1933,11 +2247,191 @@ def render_fast_mesh(plan, sources, mesh_n: int, verbose: bool = False,
                 jax.device_put(_bad_origins(bad), devices[k]),
                 src.spl.degree, plan.nchannels, src.static.brighten)
         outs.append(img_b)
+    return _gather_bands(outs)
 
-    img = np.concatenate(
-        [np.asarray(jax.device_get(o), np.float32) for o in outs],
-        axis=0)
-    return img[:out_h, :out_w]
+
+def _mesh_solo_twined(plan, src, window, mesh_n, devices, verbose,
+                      classes):
+    """Full-cover twined solo frame per output-row band (the 16K
+    downscale config under --mesh)."""
+    geom = _geom_static(plan)
+    bias = 1.0 / ST.DERIV_BIAS
+    spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
+                   for (cx, cy, w) in plan.spread)
+    if classes is None:
+        classes = select_classes(plan, src, window, spread=spread,
+                                 verbose=verbose)
+    passes, assigned = plan_passes(plan, src, window, classes,
+                                   spread=spread)
+    n_fast = int((assigned >= 0).sum())
+    if n_fast == 0:
+        return None
+    if verbose:
+        print(f"fastpath(mesh/twined): {n_fast}/{assigned.size} tiles"
+              f" fused, {len(spread)} taps, {mesh_n} devices")
+    bands = split_passes_by_bands(passes, assigned, mesh_n)
+    outs = []
+    for k, ((passes_b, a_b), wb) in enumerate(
+            zip(bands, _band_windows(window, mesh_n))):
+        frame_fn, state, _a, _p = fused_frame(
+            plan, src, wb, classes, spread=spread,
+            preplanned=(passes_b, a_b))
+        state_k = jax.device_put(state, devices[k])
+        eps_k = jax.device_put(jnp.float32(0), devices[k])
+        img_b = frame_fn(state_k, eps_k)
+        bad = np.argwhere(a_b == -1)
+        if bad.size:
+            if verbose:
+                print(f"fastpath(mesh/twined): band {k}: {len(bad)} "
+                      "tiles via XLA fallback")
+            src_k = state_k["src"]
+            basis = state_k["basis"]
+            c0 = _coords(geom, wb, "orig", src_k, 0, (0.0, 0.0),
+                         basis)
+            c10 = _coords(geom, wb, "orig", src_k, 0,
+                          (ST.DERIV_BIAS, 0.0), basis)
+            c01 = _coords(geom, wb, "orig", src_k, 0,
+                          (0.0, ST.DERIV_BIAS), basis)
+            sx, sy, mask = c0[0], c0[1], c0[2]
+            dux, dvx = _deriv(sx, c10[0], c01[0])
+            duy, dvy = _deriv(sy, c10[1], c01[1])
+            img_b = _patch_tiles_batch_twined(
+                img_b, src_k.spl.coeff, sx, sy, dux, duy, dvx, dvy,
+                mask, jax.device_put(_bad_origins(bad), devices[k]),
+                src.spl.degree, spread, plan.nchannels,
+                float(src.static.brighten))
+        outs.append(img_b)
+    return _gather_bands(outs)
+
+
+def _mesh_solo_twined_partial(plan, src, window, mesh_n, devices,
+                              verbose, classes):
+    """Partial-facet twined solo frame per band: the core/band
+    decomposition of _render_fast_solo_twined_partial with the global
+    plan band-sliced; the facet-edge band tiles are patched per tap on
+    their band's device."""
+    from scipy import ndimage
+
+    geom = _geom_static(plan)
+    bias = 1.0 / ST.DERIV_BIAS
+    spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
+                   for (cx, cy, w) in plan.spread)
+    if classes is None:
+        classes = select_classes(plan, src, window, spread=spread,
+                                 verbose=verbose)
+    ph = window[1] - window[0]
+    pw = window[3] - window[2]
+    nty, ntx = ph // PR.TILE_H, pw // PR.TILE_W
+    basis = _basis_arg(plan, 0)
+    c0 = _coords(geom, window, "orig", src, 0, (0.0, 0.0), basis)
+    mask_np = np.asarray(c0[2], bool)
+    rx = int(math.ceil(max(abs(c[0]) for c in plan.spread))) + 1
+    ry = int(math.ceil(max(abs(c[1]) for c in plan.spread))) + 1
+    size = (2 * ry + 1, 2 * rx + 1)
+    m8 = mask_np.astype(np.uint8)
+    core = ndimage.minimum_filter(m8, size=size, mode="constant",
+                                  cval=0).astype(bool)
+    reach = ndimage.maximum_filter(m8, size=size, mode="constant",
+                                   cval=0).astype(bool)
+    tview = lambda a: a.reshape(nty, PR.TILE_H, ntx, PR.TILE_W)
+    core_t = tview(core).all(axis=(1, 3))
+    band_t = tview(reach).any(axis=(1, 3)) & ~core_t
+
+    passes, assigned = plan_passes(plan, src, window, classes,
+                                   spread=spread, exclude=band_t)
+    n_fast = int((assigned >= 0).sum())
+    if n_fast == 0 and core_t.any():
+        return None
+    if verbose:
+        print(f"fastpath(mesh/twined/partial): {n_fast}/"
+              f"{assigned.size} tiles fused, {int(band_t.sum())} band"
+              f" tiles per-tap, {len(spread)} taps, {mesh_n} devices")
+    bands = split_passes_by_bands(passes, assigned, mesh_n)
+    outs = []
+    for k, ((passes_b, a_b), wb) in enumerate(
+            zip(bands, _band_windows(window, mesh_n))):
+        frame_fn, state, _a, _p = fused_frame(
+            plan, src, wb, classes, spread=spread,
+            preplanned=(passes_b, a_b))
+        state_k = jax.device_put(state, devices[k])
+        eps_k = jax.device_put(jnp.float32(0), devices[k])
+        img_b = frame_fn(state_k, eps_k)
+        bad = np.argwhere(a_b == -1)
+        if bad.size:
+            src_k = state_k["src"]
+            basis_k = state_k["basis"]
+            cb0 = _coords(geom, wb, "orig", src_k, 0, (0.0, 0.0),
+                          basis_k)
+            c10 = _coords(geom, wb, "orig", src_k, 0,
+                          (ST.DERIV_BIAS, 0.0), basis_k)
+            c01 = _coords(geom, wb, "orig", src_k, 0,
+                          (0.0, ST.DERIV_BIAS), basis_k)
+            sx, sy = cb0[0], cb0[1]
+            dux, dvx = _deriv(sx, c10[0], c01[0])
+            duy, dvy = _deriv(sy, c10[1], c01[1])
+            tap_masks = jnp.stack(
+                [_tap_mask_score(geom, wb, src_k, 0,
+                                 jnp.asarray([cx, cy], jnp.float32),
+                                 basis_k)[0]
+                 for (cx, cy, _w) in plan.spread])
+            img_b = _patch_tiles_batch_twined_pertap(
+                img_b, src_k.spl.coeff, sx, sy, dux, duy, dvx, dvy,
+                tap_masks,
+                jax.device_put(_bad_origins(bad), devices[k]),
+                src.spl.degree, spread, plan.nchannels,
+                float(src.static.brighten))
+        outs.append(img_b)
+    return _gather_bands(outs)
+
+
+def _mesh_multi(plan, sources, window, mesh_n, devices, verbose,
+                classes):
+    """Untwined multi-facet stitch per band: every facet planned once
+    globally, each band a one-jit combined frame (facet passes + XLA
+    patches + synopsis) on its own device."""
+    plans = []
+    for fi, src in enumerate(sources):
+        passes, assigned = plan_passes(plan, src, window, classes, fi)
+        n_fast = int((assigned >= 0).sum())
+        n_zero = int((assigned == ZERO_PASS).sum())
+        if verbose:
+            print(f"fastpath(mesh/multi): facet {fi}: {n_fast}/"
+                  f"{assigned.size} tiles fused, {n_zero} empty")
+        if n_fast == 0 and n_zero < assigned.size:
+            return None
+        plans.append((passes, assigned))
+    band_lists = [split_passes_by_bands(p, a, mesh_n)
+                  for (p, a) in plans]
+    outs = []
+    for k, wb in enumerate(_band_windows(window, mesh_n)):
+        ppl = [band_lists[fi][k] for fi in range(len(sources))]
+        fn, states, _a, _pl = fused_multi_frame(
+            plan, sources, wb, classes, preplanned_list=ppl)
+        states_k = jax.device_put(tuple(states), devices[k])
+        eps_k = jax.device_put(jnp.float32(0), devices[k])
+        outs.append(fn(states_k, eps_k))
+    return _gather_bands(outs)
+
+
+def _mesh_multi_pertap(plan, sources, window, mesh_n, devices,
+                       verbose, classes):
+    """Twined multi-facet stitch per band: champion stability and all
+    pass plans computed once globally (_pertap_host_plan), band-sliced
+    (_pertap_slice_band), one compiled per-tap frame per band."""
+    S = _pertap_host_plan(plan, sources, window, classes, verbose)
+    if S is None:
+        return None
+    if verbose:
+        print(f"fastpath(mesh/pertap): {mesh_n} devices, "
+              f"{len(S['spread'])} taps")
+    outs = []
+    for k, wb in enumerate(_band_windows(window, mesh_n)):
+        Sb = _pertap_slice_band(S, k, mesh_n)
+        fn, args = _pertap_build(plan, sources, wb, classes, Sb,
+                                 verbose=False)
+        args_k = jax.device_put(args, devices[k])
+        outs.append(fn(*args_k))
+    return _gather_bands(outs)
 
 
 def _eligible_multi(plan, sources) -> bool:
@@ -1991,57 +2485,129 @@ def render_fast_multi(plan, sources, verbose: bool = False,
                                          out_h, out_w, verbose,
                                          classes)
 
-    # every covered tile fused for every facet: the whole stitch
-    # (frames + masks + scores + synopsis) is one compiled program
+    # the whole stitch (frames + masks + scores + XLA patches +
+    # synopsis) is one compiled program; decline only when a facet has
+    # covered tiles but NO fused ones (an all-patch facet would run at
+    # the ~100x-slower XLA scan rate - the graph path is better there)
     fn, states, assigneds, _pl = fused_multi_frame(plan, sources,
                                                    window, classes)
-    if all((a != -1).all() for a in assigneds):
+    for fi, a in enumerate(assigneds):
+        n_fast = int((a >= 0).sum())
+        n_zero = int((a == ZERO_PASS).sum())
         if verbose:
-            for fi, a in enumerate(assigneds):
-                print(f"fastpath(multi): facet {fi}: "
-                      f"{(a >= 0).sum()}/{a.size} tiles fused, "
-                      f"{(a == ZERO_PASS).sum()} empty (one-jit)")
-        out = fn(tuple(states), jnp.float32(0))
-        img = np.array(jax.device_get(out), np.float32)
-        return img[:out_h, :out_w]
-
-    geom = _geom_static(plan)
-    px_list, mask_list, score_list = [], [], []
-    for fi, src in enumerate(sources):
-        frame_fn, state, assigned, passes = fused_frame(
-            plan, src, window, classes, fi=fi)
-        n_fast = int((assigned >= 0).sum())
-        n_zero = int((assigned == ZERO_PASS).sum())
-        if verbose:
-            print(f"fastpath(multi): facet {fi}: {n_fast}/"
-                  f"{assigned.size} tiles fused, {n_zero} empty")
-        if n_fast == 0 and n_zero < assigned.size:
+            n_bad = int((a == -1).sum())
+            extra = f", {n_bad} via XLA patch" if n_bad else ""
+            print(f"fastpath(multi): facet {fi}: "
+                  f"{n_fast}/{a.size} tiles fused, "
+                  f"{n_zero} empty{extra} (one-jit)")
+        if n_fast == 0 and n_zero < a.size:
             return None  # one facet entirely unfusable: use XLA path
-        basis = _basis_arg(plan, fi)
-        _sx0, _sy0, mask, ray_z = _coords(geom, window, "orig", src,
-                                          fi, (0.0, 0.0), basis)
-        if n_fast:
-            img_f = frame_fn(state, jnp.float32(0))
-        else:
-            img_f = jnp.zeros((ph, pw, plan.nchannels), jnp.float32)
-        bad = np.argwhere(assigned == -1)
-        if bad.size:
-            if verbose:
-                print(f"fastpath(multi): facet {fi}: {len(bad)} "
-                      f"tiles via XLA fallback")
-            img_f = _patch_tiles_batch(
-                img_f, src.spl.coeff, _sx0, _sy0, mask,
-                _bad_origins(bad), src.spl.degree, plan.nchannels,
-                src.static.brighten)
-        px_list.append(img_f)
-        mask_list.append(mask)
-        score_list.append(jnp.where(
-            mask, ray_z * src.static.recip_step,
-            float(np.finfo(np.float32).min)))
-
-    out = _combine_stack(plan, sources, px_list, mask_list, score_list)
+    out = fn(tuple(states), jnp.float32(0))
     img = np.array(jax.device_get(out), np.float32)
     return img[:out_h, :out_w]
+
+
+def _pertap_host_plan(plan, sources, window, classes,
+                      verbose: bool = False):
+    """Global host-side planning for the twined multi-facet fused
+    render (see fused_pertap_frame): the champion-stability analysis
+    plus every facet's stable-tile and per-tap pass plans over the
+    full ``window``. Returns None when a facet is entirely unfusable
+    (callers fall back to the XLA graph path), else a dict of plain
+    host data - np arrays and (passes, assigned) pairs - that
+    _pertap_build turns into the compiled frame, either whole or
+    band-sliced for --mesh (split_passes_by_bands keeps every tile's
+    treatment identical on any band decomposition)."""
+    y0, _y1, x0, _x1 = window
+    ph = window[1] - y0
+    pw = window[3] - x0
+    nty, ntx = ph // PR.TILE_H, pw // PR.TILE_W
+    geom = _geom_static(plan)
+    bias = 1.0 / ST.DERIV_BIAS
+    spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
+                   for (cx, cy, w) in plan.spread)
+
+    # --- champion stability: stable_of[t] = champion facet of tile t
+    # if the synopsis is tap-invariant there, else -1. The per-pixel
+    # erosion/dilation and the tile reduction run on device (one
+    # dispatch, (F+1, nty, ntx) bools fetched) - full mask/score
+    # planes never cross the tunnel.
+    stable_of = np.full((nty, ntx), -1, np.int32)
+    unstable_t = np.ones((nty, ntx), bool)
+    if plan.synopsis != "hdr_merge" and plan.nchannels in (1, 3) \
+            and len(spread) > 1 and len(sources) > 1:
+        rx = int(math.ceil(max(abs(c[0]) for c in plan.spread))) + 1
+        ry = int(math.ceil(max(abs(c[1]) for c in plan.spread))) + 1
+        stable_f, reach_t = _stability_tiles(
+            geom, window, tuple(sources),
+            tuple(_basis_arg(plan, fi) for fi in range(len(sources))),
+            (2 * ry + 1, 2 * rx + 1))
+        stable_f = np.asarray(stable_f, bool)
+        reach_t = np.asarray(reach_t, bool)
+        for fi in range(len(sources)):
+            stable_of[stable_f[fi]] = fi
+        unstable_t = (stable_of < 0) & reach_t
+    stable_any_t = stable_of >= 0
+    decomposed = bool(stable_any_t.any())
+
+    stable = []  # (fi, passes, assigned) for facets owning stable tiles
+    if decomposed:
+        for fi, src in enumerate(sources):
+            sel = stable_of == fi
+            if not sel.any():
+                continue
+            passes_f, assigned_f = plan_passes(
+                plan, src, window, classes, fi, spread, exclude=~sel)
+            if verbose:
+                print(f"fastpath(multi/pertap): facet {fi}: "
+                      f"{int(sel.sum())} stable tiles "
+                      f"({(assigned_f >= 0).sum()} fused, "
+                      f"{int(((assigned_f == -1) & sel).sum())} via "
+                      "XLA)")
+            stable.append((fi, passes_f, assigned_f))
+
+    pertap = []  # one (passes, assigned) per facet (tap-loop frames)
+    for fi, src in enumerate(sources):
+        passes_f, assigned_f = plan_passes(
+            plan, src, window, classes, fi, spread,
+            exclude=stable_any_t if decomposed else None,
+            want_union=False)
+        n_fast = int((assigned_f >= 0).sum())
+        n_zero = int((assigned_f == ZERO_PASS).sum())
+        unf = int(((assigned_f == -1) & unstable_t).sum())
+        if verbose:
+            print(f"fastpath(multi/pertap): facet {fi}: {n_fast}/"
+                  f"{assigned_f.size} tiles fused, {n_zero} empty")
+        if n_fast == 0 and unf > 0 and n_zero < assigned_f.size \
+                and not (stable_of == fi).any():
+            return None  # one facet entirely unfusable: use XLA path
+        if verbose and unf:
+            print(f"fastpath(multi/pertap): facet {fi}: "
+                  f"{unf} tiles via XLA fallback")
+        pertap.append((passes_f, assigned_f))
+    return dict(spread=spread, stable_of=stable_of,
+                unstable_t=unstable_t, stable=stable, pertap=pertap)
+
+
+def _pertap_slice_band(S, k: int, n_bands: int):
+    """Band ``k`` of a _pertap_host_plan structure: every pass plan
+    sliced with split_passes_by_bands (treatment-preserving), the
+    stability grids row-sliced."""
+    nty = S["stable_of"].shape[0]
+    bh = nty // n_bands
+    sl = slice(k * bh, (k + 1) * bh)
+    stable = []
+    for (fi, passes_f, assigned_f) in S["stable"]:
+        pb, ab = split_passes_by_bands(passes_f, assigned_f,
+                                       n_bands)[k]
+        if not ((S["stable_of"][sl] == fi).any()):
+            continue
+        stable.append((fi, pb, ab))
+    pertap = [split_passes_by_bands(p, a, n_bands)[k]
+              for (p, a) in S["pertap"]]
+    return dict(spread=S["spread"], stable_of=S["stable_of"][sl],
+                unstable_t=S["unstable_t"][sl], stable=stable,
+                pertap=pertap)
 
 
 def fused_pertap_frame(plan, sources, window, verbose: bool = False,
@@ -2082,83 +2648,51 @@ def fused_pertap_frame(plan, sources, window, verbose: bool = False,
     Returns ``(fn, args)`` with ``fn(*args)`` the one-jit padded-frame
     program, or None when a facet is entirely unfusable (callers fall
     back to the XLA graph path)."""
-    y0, _y1, x0, _x1 = window
-    ph = window[1] - y0
-    pw = window[3] - x0
-    nty, ntx = ph // PR.TILE_H, pw // PR.TILE_W
-    geom = _geom_static(plan)
-    bias = 1.0 / ST.DERIV_BIAS
-    spread = tuple((float(cx) * bias, float(cy) * bias, float(w))
-                   for (cx, cy, w) in plan.spread)
+    S = _pertap_host_plan(plan, sources, window, classes, verbose)
+    if S is None:
+        return None
+    return _pertap_build(plan, sources, window, classes, S, verbose)
 
-    # --- champion stability: stable_of[t] = champion facet of tile t
-    # if the synopsis is tap-invariant there, else -1. The per-pixel
-    # erosion/dilation and the tile reduction run on device (one
-    # dispatch, (F+1, nty, ntx) bools fetched) - full mask/score
-    # planes never cross the tunnel.
-    stable_of = np.full((nty, ntx), -1, np.int32)
-    unstable_t = np.ones((nty, ntx), bool)
-    if plan.synopsis != "hdr_merge" and plan.nchannels in (1, 3) \
-            and len(spread) > 1 and len(sources) > 1:
-        rx = int(math.ceil(max(abs(c[0]) for c in plan.spread))) + 1
-        ry = int(math.ceil(max(abs(c[1]) for c in plan.spread))) + 1
-        stable_f, reach_t = _stability_tiles(
-            geom, window, tuple(sources),
-            tuple(_basis_arg(plan, fi) for fi in range(len(sources))),
-            (2 * ry + 1, 2 * rx + 1))
-        stable_f = np.asarray(stable_f, bool)
-        reach_t = np.asarray(reach_t, bool)
-        for fi in range(len(sources)):
-            stable_of[stable_f[fi]] = fi
-        unstable_t = (stable_of < 0) & reach_t
-    stable_any_t = stable_of >= 0
-    decomposed = bool(stable_any_t.any())
+
+def _pertap_build(plan, sources, window, classes, S,
+                  verbose: bool = False):
+    """Compile the one-jit per-tap frame over ``window`` from a
+    (possibly band-sliced) _pertap_host_plan structure."""
+    ph = window[1] - window[0]
+    pw = window[3] - window[2]
+    geom = _geom_static(plan)
+    spread = S["spread"]
+    stable_of = S["stable_of"]
+    unstable_t = S["unstable_t"]
+    decomposed = bool((stable_of >= 0).any())
 
     # --- solo twined frames for the stable tiles (one per owning
     # facet, union-tap classes; traced together with the tap loop)
-    stable_frames = []  # (fi, frame, assigned, bad_tuple, key)
+    stable_frames = []  # (fi, frame, bad_tuple, degree, brighten, key)
     stable_states = []
-    if decomposed:
-        for fi, src in enumerate(sources):
-            sel = stable_of == fi
-            if not sel.any():
-                continue
-            frame, st, assigned, passes, key = _frame_builder(
-                plan, src, window, classes, fi=fi, spread=spread,
-                exclude=~sel)
-            badf = tuple(map(tuple, np.argwhere(
-                (assigned == -1) & sel)))
-            if verbose:
-                print(f"fastpath(multi/pertap): facet {fi}: "
-                      f"{int(sel.sum())} stable tiles "
-                      f"({(assigned >= 0).sum()} fused, "
-                      f"{len(badf)} via XLA)")
-            stable_frames.append((fi, frame, badf, src.spl.degree,
-                                  float(src.static.brighten), key))
-            stable_states.append(st)
+    for (fi, passes_f, assigned_f) in S["stable"]:
+        src = sources[fi]
+        frame, st, assigned, passes, key = _frame_builder(
+            plan, src, window, classes, fi=fi, spread=spread,
+            preplanned=(passes_f, assigned_f))
+        badf = tuple(map(tuple, np.argwhere(
+            (assigned_f == -1) & (stable_of == fi))))
+        stable_frames.append((fi, frame, badf, src.spl.degree,
+                              float(src.static.brighten), key))
+        stable_states.append(st)
 
     per_facet = []
     states = []
     keys = []
     part = []  # facet indices participating in the tap loop
     for fi, src in enumerate(sources):
+        passes_f, assigned_f = S["pertap"][fi]
         frame_fn, state, assigned, passes, key = _frame_builder(
             plan, src, window, classes, fi=fi, spread=spread,
-            pertap=True, exclude=stable_any_t if decomposed else None)
-        n_fast = int((assigned >= 0).sum())
-        n_zero = int((assigned == ZERO_PASS).sum())
-        unf = int(((assigned == -1) & unstable_t).sum())
-        if verbose:
-            print(f"fastpath(multi/pertap): facet {fi}: {n_fast}/"
-                  f"{assigned.size} tiles fused, {n_zero} empty")
-        if n_fast == 0 and unf > 0 and n_zero < assigned.size \
-                and not (stable_of == fi).any():
-            return None  # one facet entirely unfusable: use XLA path
+            pertap=True, preplanned=(passes_f, assigned_f))
+        n_fast = int((assigned_f >= 0).sum())
         bad = tuple(map(tuple, np.argwhere(
-            (assigned == -1) & unstable_t)))
-        if verbose and bad:
-            print(f"fastpath(multi/pertap): facet {fi}: "
-                  f"{len(bad)} tiles via XLA fallback")
+            (assigned_f == -1) & unstable_t)))
         per_facet.append((frame_fn, n_fast, bad, src.spl.degree,
                           float(src.static.brighten)))
         states.append(state)

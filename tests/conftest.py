@@ -21,3 +21,28 @@ import jax  # noqa: E402
 # would silently run over the TPU tunnel. Set the config directly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Persist the run summary (TESTS_LAST.json at the repo root) so
+    test-count claims are checkable artifacts like the bench numbers
+    (round-3 advisor finding). Records the invocation args too, so a
+    partial selection is distinguishable from the full suite."""
+    import json
+    import time
+
+    stats = {k: len(v) for k, v in terminalreporter.stats.items() if k}
+    out = {
+        "when": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "exitstatus": int(exitstatus),
+        "args": [str(a) for a in config.invocation_params.args],
+        "counts": stats,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "TESTS_LAST.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass

@@ -320,6 +320,127 @@ def test_resample_twined_union_taps(sheared, n_taps, defl, u_span):
     np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.parametrize("sheared", [False, True],
+                         ids=["plain", "sheared"])
+def test_resample_twined_sep_grid(sheared):
+    """Separable tensor-grid routing (WindowClass.sep): on dvx == 0
+    tiles with a full kx x ky tap grid, the horizontal routing runs
+    per grid column and the weight update is one outer product per
+    column - must match the XLA tap loop exactly (same taps, same
+    weights; only the accumulation grouping differs)."""
+    import dataclasses
+    import itertools
+
+    img = jnp.asarray(RNG.uniform(0, 1, (900, 900, 3)), jnp.float32)
+    spl = S.make_spline(img, 1, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 256, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    # ~2.8x horizontal minification with a mild shear - the
+    # 16K-downscale shape. The vertical scale is kept at unit for the
+    # sheared case (the q3 band budget caps the per-vreg sublane
+    # advance + the twined residual slack at 8q - degree - 3 rows).
+    vs = 1.0 if sheared else 2.6
+    sx = (60 + 2.8 * jj + 3 * np.sin(ii / 40)).astype(np.float32)
+    sy = (40 + vs * ii + 0.15 * jj
+          + 2 * np.sin(jj / 50)).astype(np.float32)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    # derivatives at the production DERIV_BIAS quarter-pixel step,
+    # spread cx/cy bias-folded (x4) like fastpath does - the drift/k
+    # budgets are sized for exactly this scaling
+    g = np.linspace(-1.5, 1.5, 4)
+    spread = tuple((float(cx), float(cy), 1.0 / 16)
+                   for cy, cx in itertools.product(g, g))
+    dux = jnp.full(px.shape, 0.25 * 2.8, jnp.float32)
+    duy = jnp.full(px.shape, 0.25 * 0.15, jnp.float32)
+    dvx = jnp.zeros(px.shape, jnp.float32)   # the sep admission bit
+    dvy = jnp.full(px.shape, 0.25 * vs, jnp.float32)
+    cmx = max(abs(c[0]) for c in spread)
+    cmy = max(abs(c[1]) for c in spread)
+    mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+    my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+    stats = [np.asarray(s) for s in
+             PR.tile_stats_fit_range(px, py, mx, my, 1, dvx=dvx)]
+    assert len(stats) == 11 and (stats[10] <= 1.0).all()
+    u_span = int(stats[9].max())
+    nty, ntx = H // PR.TILE_H, W // PR.TILE_W
+    if sheared:
+        wc = dataclasses.replace(PR.SHEAR_MINIFY_3, u_span=u_span,
+                                 sep=True, k_taps=6)
+        tiles = _shear_tiles(stats, nty, ntx, 1, wc,
+                             coeffp.shape[1], coeffp.shape[2])
+    else:
+        wc = dataclasses.replace(PR.MINIFY, u_span=u_span, sep=True,
+                                 k_taps=6)
+        tiles = _compact_tiles(stats, nty, ntx, 1, wc,
+                               coeffp.shape[1], coeffp.shape[2])
+    cxs = tuple(sorted({t[0] for t in spread}))
+    cys = tuple(sorted({t[1] for t in spread}))
+    wgrid = {(cx, cy): w for cx, cy, w in spread}
+    flat = list(cxs) + list(cys) + [wgrid[(cx, cy)]
+                                    for cy in cys for cx in cxs]
+    spread_sep = jnp.asarray(np.asarray(flat, np.float32))
+    canvas = jnp.zeros((coeffp.shape[0],) + px.shape, jnp.float32)
+    out = PR.resample_twined_into(canvas, coeffp, px, py, dux, duy,
+                                  dvx, dvy, jnp.asarray(tiles),
+                                  spread_sep, degree=1, n_taps=16,
+                                  wc=wc, interpret=True,
+                                  grid=(4, 4))
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    ref = None
+    for cx, cy, wgt in spread:
+        v = S.eval_spline(spl, px + cx * dux + cy * dvx - spl.pad,
+                          py + cx * duy + cy * dvy - spl.pad,
+                          apply_gate=False)
+        ref = wgt * v if ref is None else ref + wgt * v
+    np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.parametrize("wc_name", ["shear_minify_3", "shear_steep"],
+                         ids=["minify3", "steep"])
+def test_resample_minify_shear_classes(wc_name):
+    """Dedicated coverage for the deeper-band shear classes
+    (SHEAR_MINIFY_3 / SHEAR_STEEP - the 16K twining ladder's
+    workhorses, VERDICT r3 item 4b): a strongly minified warp with a
+    linear shear must classify under the class and evaluate exactly
+    via the sheared-band kernel."""
+    img = jnp.asarray(RNG.uniform(0, 1, (1400, 1200, 3)), jnp.float32)
+    spl = S.make_spline(img, 3, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 128, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    # the q-band residual budget (8q - degree - 3 rows) caps the
+    # per-vreg sublane advance: ~<=1.8 rows/output-row for q3,
+    # ~<=2.7 for q4 (the bx-fit only captures the column slope)
+    if wc_name == "shear_minify_3":
+        wc = PR.SHEAR_MINIFY_3
+        sx = (70 + 3.0 * jj + 1.5 * np.sin(ii / 50)).astype(np.float32)
+        sy = (50 + 1.8 * ii + 0.25 * jj
+              + 1.0 * np.sin(jj / 60)).astype(np.float32)
+    else:
+        wc = PR.SHEAR_STEEP
+        # deeper vreg row span plus a steep column-direction row slope
+        # (facet-corner territory)
+        sx = (90 + 2.2 * jj + 1.0 * np.sin(ii / 60)).astype(np.float32)
+        sy = (80 + 2.7 * ii + 0.9 * jj
+              + 1.5 * np.sin(jj / 70)).astype(np.float32)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    ref = S.eval_spline(spl, jnp.asarray(sx), jnp.asarray(sy),
+                        apply_gate=False)
+    stats = [np.asarray(s) for s in PR.tile_stats_fit(px, py, 3)]
+    nty, ntx = H // PR.TILE_H, W // PR.TILE_W
+    tiles = _shear_tiles(stats, nty, ntx, 3, wc,
+                         coeffp.shape[1], coeffp.shape[2])
+    canvas = jnp.zeros((coeffp.shape[0],) + px.shape, jnp.float32)
+    out = PR.resample_planar_into(canvas, coeffp, px, py,
+                                  jnp.asarray(tiles), degree=3,
+                                  wc=wc, interpret=True)
+    out = np.moveaxis(np.asarray(out), 0, -1)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
+
+
 def test_masked_coord_fill_budgets():
     """The fill never widens a vreg's span (clamped to the valid
     range) and valid pixels pass through untouched."""

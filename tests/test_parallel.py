@@ -231,6 +231,93 @@ def test_render_fast_mesh_bit_equal_single_device(monkeypatch):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_render_fast_mesh_multivariant_fallback_bands(monkeypatch):
+    """Banded dispatch of a MULTI-PASS, MULTI-VARIANT plan: the view
+    crosses the lon seam (rolled variant engages) and reaches the pole
+    (two tiles fall back to the XLA patch path), so one band carries
+    only fallback tiles and the other two kernel passes on different
+    source variants. The banded composite must be bit-equal to the
+    single-device fused render (VERDICT r3 item 4c)."""
+    from envutil_tpu.ops import pallas_resample as PR
+    from envutil_tpu.ops import spline as S
+    from envutil_tpu.runtime import fastpath
+
+    monkeypatch.setattr(PR, "FORCE_INTERPRET", True)
+
+    img = RNG.uniform(0, 1, (256, 512, 3)).astype(np.float32)
+    fct = _make(Projection.SPHERICAL, 512, 256, 2 * math.pi)
+    src = E.make_mount_source(fct, img, 1, 1)
+    # the loader only attaches variants on TPU; build 'rolled' here
+    src.variants["rolled"] = S.rolled_spline(src.spl)
+
+    args = Args()
+    args.projection = Projection.RECTILINEAR
+    args.width = args.height = 256
+    args.hfov = math.radians(80)
+    args.extent = get_extent(args.projection, 256, 256, args.hfov)
+    args.step = (args.extent.x1 - args.extent.x0) / 256
+    args.yaw = math.radians(175)    # lon wrap inside a tile
+    args.pitch = math.radians(55)   # pole inside the upper band
+    args.spline_degree = args.prefilter_degree = 1
+    args.twine = 0
+    args.synopsis = "panorama"
+    args.nchannels = 3
+    args.facets = [fct]
+    args.solo = 0
+    plan = build_plan(args, [fct])
+
+    passes, assigned = fastpath.plan_passes(
+        plan, src, (0, 256, 0, 256), fastpath.DEFAULT_CLASSES)
+    names = {n for (n, _w, _b, _t, _m) in passes}
+    assert "rolled" in names and "orig" in names, names
+    assert (assigned == -1).any(), "no fallback tiles - config drifted"
+
+    single = fastpath.render_fast(plan, [src], verbose=True)
+    assert single is not None
+    meshed = fastpath.render_fast_mesh(plan, [src], 2, verbose=True)
+    assert meshed is not None
+    # same plans, same kernels on the same tiles; the only residual is
+    # XLA's per-program FMA-contraction choice between the band-sized
+    # and full-frame programs (<= 2 ulp, same standard as the
+    # ring/shard_table checks)
+    np.testing.assert_allclose(meshed, single, rtol=4e-7, atol=4e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_render_fast_mesh_multi_facet_bit_equal(monkeypatch):
+    """--mesh for a MULTI-FACET stitch: per-facet plans banded, each
+    band a one-jit combined frame (facet passes + masked-merge edge
+    tiles + synopsis) on its own device - bit-equal to the
+    single-device one-jit multi frame (VERDICT r3 item 2)."""
+    from envutil_tpu.ops import pallas_resample as PR
+    from envutil_tpu.runtime import fastpath
+
+    monkeypatch.setattr(PR, "FORCE_INTERPRET", True)
+
+    fcts, srcs = [], []
+    for i, yaw in enumerate((-12.0, 12.0)):
+        img = RNG.uniform(0, 1, (192, 256, 3)).astype(np.float32)
+        f = Facet(facet_no=i, nchannels=3)
+        f.set_geometry(Projection.RECTILINEAR, 256, 192,
+                       math.radians(70))
+        f.step = get_step(Projection.RECTILINEAR, 256, 192,
+                          math.radians(70))
+        f.yaw = math.radians(yaw)
+        f.process_geometry()
+        fcts.append(f)
+        srcs.append(E.make_mount_source(f, img, 1, 1))
+    plan = _plan_for(fcts, wh=(256, 256), hfov_deg=60.0, yaw_deg=0.0,
+                     degree=1)
+
+    single = fastpath.render_fast(plan, srcs, verbose=True)
+    assert single is not None, "multi fused path declined"
+    meshed = fastpath.render_fast_mesh(plan, srcs, 2, verbose=True)
+    assert meshed is not None, "multi mesh path declined"
+    # <= 2 ulp FMA-contraction residual between program shapes
+    np.testing.assert_allclose(meshed, single, rtol=4e-7, atol=4e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_render_frame_shard_table_option():
     """render_frame(mesh_n=8, shard_table=True) - the --shard_table
     CLI path - matches the single-device frame (<= 2 ulp)."""
