@@ -19,20 +19,18 @@ Configs (BASELINE.md / BASELINE.json):
       lens correction, and a 3-bracket Eev HDR merge - all through
       the one-jit multi-facet frame
 
-Latest sweep on one TPU v5e chip (2026-08-19 round 2, complete
-frames, all configs 100% fused - union-tap twined kernels + merge
-row-block skip + exact face-boundary merge passes + masked-merge
-facet-edge tiles + inline-coordinates kernels):
-16K/16-tap exact 184.8 (was 32 before union-tap), 16K
---twine_pyramid 493.9, 4K bilinear 972, 8K/4-tap twine 485.8 (was
-333), 3-facet 881.8, 6-facet + lens 545.2, 6-facet 4-tap twined
-stitch 272.3 (champion-stable), biatan6->stereo 364.2,
-cubemap->equirect 489.3, biatan6->fisheye 383.0, HDR merge 710.6,
-headline 8K equirect->cubemap 2181.5 (bench.py, inline-coords kernel
-+ donated-canvas steady state; 2119.9 fresh-canvas).
-Round-1 numbers for comparison: headline 1532, 4K 893,
-biatan6->stereo 527 (forced-face approximation, 33.9 dB vs XLA on
-face-boundary tiles - now exact at 98.8 dB).
+Latest sweep on one TPU v5e chip (2026-08-21 round 4, complete
+frames, all solo configs 100% fused - pass-fitted class shrinking +
+separable-grid twined routing on top of the union-tap kernels and
+inline-coordinates kernels; see NOTES.md for the full history):
+16K/16-tap exact 592.0, 16K --twine_pyramid 1145.3, 4K bilinear
+1643.7, 8K/4-tap twine 1141.9, 3-facet 1371.8, 6-facet + lens 763.1,
+6-facet 4-tap twined stitch 373.7 (champion-stable), biatan6->stereo
+532.2, cubemap->equirect 831.3, biatan6->fisheye 566.1, HDR merge
+967.8, headline 8K equirect->cubemap 3362.7 (bench.py,
+driver-captured, donated-canvas steady state).
+Round-2 numbers for comparison: 16K/16-tap 184.8, 4K 972, 3-facet
+881.8, headline 2181.5; round-1: headline 1532, 4K 893.
 """
 
 import json
@@ -84,7 +82,7 @@ def _report(name, mpix_s, extra="", tag=None):
                 rec["vs_cpu_floor"] = round(mpix_s / fl["value"], 1)
         except (OSError, ValueError):
             pass
-    print(json.dumps(rec))
+    print(json.dumps(rec), flush=True)
 
 
 def main():
@@ -401,14 +399,14 @@ def main():
                     0.0)
             return
         fn, fargs = got
-        sts, ssts, sp, up = fargs
-        wrapped = lambda s, ss, spv, upv, eps: fn(s, ss, spv + eps,
-                                                  upv)
-        mpix = _timeit_frame(wrapped, (sts, ssts, sp, up),
+        sts, ssts, tsts, sp, up = fargs
+        wrapped = lambda s, ss, ts, spv, upv, eps: fn(s, ss, ts,
+                                                      spv + eps, upv)
+        mpix = _timeit_frame(wrapped, (sts, ssts, tsts, sp, up),
                              4096 * 2048)
         _report("6-facet voronoi stitch + 4-tap twine -> 4096x2048 "
                 "deg-3 (champion-stable one-jit)", mpix, tag="5d")
-        del srcs6, sts, ssts
+        del srcs6, sts, ssts, tsts
 
 
     def cfg_5c():
