@@ -605,7 +605,7 @@ def _union_sep_weights(sx, sy, dux, duy, dvy, spread_ref, kx: int,
 def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
                           n_taps: int, win_ref, *, degree: int,
                           wc: WindowClass, nch: int, rb0, cb0,
-                          grid=None):
+                          grid=None, tap_w=None):
     """K-tap twined evaluation of one (8, TILE_W) row-block with the
     gather work shared across taps: the column resolve and
     n1 + u_span candidate rows are gathered ONCE per tap column
@@ -684,6 +684,11 @@ def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
     def tap_body(ti, wacc):
         sxt, syt, w_t = _tap_coords(sx, sy, dux, duy, dvx, dvy,
                                     spread_ref, ti)
+        if tap_w is not None:
+            # per-pixel tap selection (champion-routed band kernels):
+            # w_t becomes an (8, TILE_W) plane; _accumulate_weights
+            # broadcasts it through the weight-space update unchanged
+            w_t = w_t * tap_w(ti)
         wy, wk, by = _tap_weights(sxt, syt, bxc_u, degree, wc)
         ly = jnp.clip(by - rb0, 0, 8 * wc.cand_r - 1 - degree)
         m_t = ly - rl_lo
@@ -700,7 +705,7 @@ def _eval_row_block_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
 def _resolve_sheared_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
                            n_taps: int, bands, a_f, b_f, *,
                            degree: int, wc: WindowClass, nch: int,
-                           cb0, col0, grid=None):
+                           cb0, col0, grid=None, tap_w=None):
     """Union-tap variant of _resolve_sheared: column resolve + the
     n1 + u_span candidate band rows gathered once per tap column,
     every twining tap routed through VPU selects. The shear row
@@ -764,6 +769,8 @@ def _resolve_sheared_union(sx, sy, dux, duy, dvx, dvy, spread_ref,
     def tap_body(ti, wacc):
         sxt, syt, w_t = _tap_coords(sx, sy, dux, duy, dvx, dvy,
                                     spread_ref, ti)
+        if tap_w is not None:
+            w_t = w_t * tap_w(ti)
         wy, wk, by = _tap_weights(sxt, syt, bxc_u, degree, wc)
         m_t = by - bymin
         return _accumulate_weights(m_t, wy, wk, w_t, wacc,
@@ -1605,14 +1612,27 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                         degree: int, wc: WindowClass, nch: int,
                         n_taps: int, nt: int, dbuf: bool,
                         stride: int, merge: bool = False,
-                        grid=None):
+                        grid=None, tapsel: bool = False):
     # merge: see _resample_kernel_into - mask + canvas-in blocks for
     # per-pixel overlay of face-boundary tiles
     # grid: static (kx, ky) when the spread is a separable tensor
     # grid and the pass's tiles have dvx == 0 (WindowClass.sep); the
     # spread_ref layout is then [cxs(kx), cys(ky), w(ky*kx)] instead
     # of (n_taps, 3) triplets
-    if merge:
+    # tapsel: champion-routed per-pixel tap weights. An extra
+    # (n_taps, TILE_H, TILE_W) int32 champion-id block rides in ahead
+    # of the coefficients and spread_ref carries the facet id at
+    # [3*n_taps]; tap ti's weight becomes w_ti * (champ[ti] == fi)
+    # per pixel, so one union-tap kernel instance per facet replaces
+    # the K-tap x F-facet per-tap loop on synopsis seam tiles (the
+    # voronoi champion select regrouped facet-major; the reference
+    # evaluates the same sum tap-major, envutil_payload.cc:611-691).
+    champ_ref = None
+    if tapsel:
+        assert not merge and grid is None
+        champ_ref, coeff_ref, _canvas_ref, out_ref, *scratch = rest
+        mask_ref = cin_ref = None
+    elif merge:
         mask_ref, coeff_ref, cin_ref, out_ref, *scratch = rest
     else:
         mask_ref = cin_ref = None
@@ -1667,6 +1687,9 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
     oyf = tiles_ref[t * stride + 4].astype(jnp.float32)
     oxf = tiles_ref[t * stride + 5].astype(jnp.float32)
 
+    fi_s = (spread_ref[n_taps * 3].astype(jnp.int32) if tapsel
+            else None)
+
     def eval_taps(r, sl):
         sx = sx_ref[sl] - oxf
         sy = sy_ref[sl] - oyf
@@ -1674,6 +1697,10 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
         duy = duy_ref[sl]
         dvx = dvx_ref[sl]
         dvy = dvy_ref[sl]
+        tap_w = None
+        if tapsel:
+            tap_w = lambda ti: (champ_ref[ti, sl[0], :]
+                                == fi_s).astype(jnp.float32)
         rb0 = cb0 = bands = a_f = b_f = None
         if wc.shear_q:
             base = t * stride + TILE_ROW_INTS + 4 * r
@@ -1698,16 +1725,18 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                     sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
                     bands, a_f, b_f, degree=degree, wc=wc, nch=nch,
                     cb0=cb0, col0=tiles_ref[t * stride + 5],
-                    grid=grid)
+                    grid=grid, tap_w=tap_w)
             return _eval_row_block_union(
                 sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps, win,
                 degree=degree, wc=wc, nch=nch, rb0=rb0, cb0=cb0,
-                grid=grid)
+                grid=grid, tap_w=tap_w)
 
         def tap_body(ti, acc):
             cx_t = spread_ref[ti * 3]
             cy_t = spread_ref[ti * 3 + 1]
             w_t = spread_ref[ti * 3 + 2]
+            if tap_w is not None:
+                w_t = w_t * tap_w(ti)
             sxt = sx + cx_t * dux + cy_t * dvx
             syt = sy + cx_t * duy + cy_t * dvy
             if wc.shear_q:
@@ -1743,6 +1772,23 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                 for ch in range(nch):
                     out_ref[ch, pl.ds(r * 8, 8), :] = \
                         cin_ref[ch, pl.ds(r * 8, 8), :]
+        elif tapsel:
+            # skip the whole gather chain for row-blocks no tap
+            # champions for this facet (band tiles are typically
+            # majority-owned by one facet)
+            m = jnp.any(champ_ref[:, pl.ds(r * 8, 8), :] == fi_s)
+
+            @pl.when(m)
+            def _championed():
+                acc = eval_taps(r, sl)
+                for ch in range(nch):
+                    out_ref[ch, pl.ds(r * 8, 8), :] = acc[ch]
+
+            @pl.when(jnp.logical_not(m))
+            def _unchampioned():
+                for ch in range(nch):
+                    out_ref[ch, pl.ds(r * 8, 8), :] = jnp.zeros(
+                        (8, TILE_W), jnp.float32)
         else:
             acc = eval_taps(r, sl)
             for ch in range(nch):
@@ -1759,12 +1805,18 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
                          wc: WindowClass = LOCAL,
                          interpret: bool = False,
                          merge_mask: jnp.ndarray = None,
-                         grid=None) -> jnp.ndarray:
+                         grid=None, champ=None) -> jnp.ndarray:
     """Compact-grid twined resampling into a donated canvas (see
     resample_planar_into for the tile-row layout and merge_mask).
     ``grid`` (static (kx, ky), requires wc.sep) switches to the
     separable tensor-grid routing; ``spread`` is then the flat
-    [cxs, cys, w row-major] layout."""
+    [cxs, cys, w row-major] layout.
+
+    ``champ`` (canvas-shaped (n_taps, H, W) int32 champion-id planes)
+    switches to champion-routed per-pixel tap weights: ``spread`` must
+    then carry the facet id appended at [3*n_taps], and tap ti
+    contributes only where ``champ[ti] == fi`` (see _twined_kernel_into
+    tapsel). Mutually exclusive with merge_mask and grid."""
     nch, hp, wp = coeff.shape
     ha, wa = aligned_dims(hp, wp, wc)
     if (ha, wa) != (hp, wp):
@@ -1792,7 +1844,21 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
     in_block = pl.BlockSpec((TILE_H, TILE_W), cmap,
                             memory_space=pltpu.VMEM)
     merge = merge_mask is not None
-    if merge:
+    tapsel = champ is not None
+    assert not (tapsel and (merge or grid is not None))
+    if tapsel:
+        in_specs = ([in_block] * 6
+                    + [pl.BlockSpec(
+                           (n_taps, TILE_H, TILE_W),
+                           lambda t, o, s: (0, o[t * stride + 2],
+                                            o[t * stride + 3]),
+                           memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)])
+        operands = (tiles.reshape(-1), spread, sx, sy, dux, duy, dvx,
+                    dvy, champ, coeff, canvas)
+        alias = {10: 0}
+    elif merge:
         in_specs = ([in_block] * 7
                     + [pl.BlockSpec(memory_space=pl.ANY),
                        pl.BlockSpec(
@@ -1824,7 +1890,7 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
     kern = functools.partial(_twined_kernel_into, degree=degree,
                              wc=wc, nch=nch, n_taps=n_taps, nt=nt,
                              dbuf=dbuf, stride=stride, merge=merge,
-                             grid=grid)
+                             grid=grid, tapsel=tapsel)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),

@@ -995,7 +995,7 @@ TILE_H_VREGS = PR.TILE_H // 8
 
 def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
                 masked_merge: bool = True, exclude=None,
-                want_union: bool = True):
+                want_union: bool = True, no_sep: bool = False):
     """Host-side pass planner: each (window class, variant) pair is
     only evaluated over the tile bounding box of the still-unassigned
     tiles, so the expensive coordinate passes for seam/pole variants
@@ -1088,7 +1088,7 @@ def plan_passes(plan, src, window, classes, fi: int = 0, spread=None,
         uni = []
 
         def u_variants(wc, u):
-            if grid is not None:
+            if grid is not None and not no_sep:
                 uni.append(dataclasses.replace(wc, u_span=u,
                                                sep=True))
             uni.append(dataclasses.replace(wc, u_span=u))
@@ -1361,7 +1361,8 @@ _FRAME_CACHE = {}
 def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                    fi: int = 0, nch_out=None, brighten=None,
                    spread=None, pertap: bool = False, exclude=None,
-                   finish: str = "image", preplanned=None):
+                   finish: str = "image", preplanned=None,
+                   tapsel: bool = False):
     """Build the one-jit fused frame for a solo render: per-pass
     coordinates restricted to the pass's tile bounding box, compact
     per-tile kernel grids writing into one donated canvas, and a
@@ -1407,12 +1408,21 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     # once globally and slices per band (split_passes_by_bands), so
     # every tile keeps the same (variant, class, origins) treatment
     # on any band decomposition.
+    # tapsel: champion-routed per-pixel tap weights (the synopsis seam
+    # band regrouped facet-major): the caller provides a canvas-shaped
+    # (n_taps, ph, pw) int32 champion-id stack through state["champ"],
+    # and every twined kernel pass weights tap ti by
+    # w_ti * (champ[ti] == fi) per pixel - one union-tap instance per
+    # facet replaces the K-tap per-facet loop on seam tiles. The
+    # separable grid routing doesn't carry per-pixel weights, so
+    # tapsel plans skip sep classes (no_sep).
     if preplanned is not None:
         passes, assigned = preplanned
     else:
         passes, assigned = plan_passes(plan, src, window, classes, fi,
                                        spread, exclude=exclude,
-                                       want_union=not pertap)
+                                       want_union=not pertap,
+                                       no_sep=tapsel)
     geom = _geom_static(plan)
     nch_out = plan.nchannels if nch_out is None else nch_out
     brighten = src.static.brighten if brighten is None else brighten
@@ -1449,6 +1459,15 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
         # placeholder; the per-tap driver swaps in each tap's
         # deflected validity mask (float32 0/1) before calling frame
         state["tap_mask"] = jnp.ones((ph, pw), jnp.float32)
+    elif tapsel:
+        # facet id appended: the kernel routes tap weights per pixel
+        # by comparing the champion-id stack against it
+        state["spread"] = jnp.asarray(np.concatenate(
+            [np.asarray(spread, np.float32).reshape(-1),
+             np.asarray([fi], np.float32)]))
+        # placeholder; the per-tap driver swaps in the frame's
+        # champion-id stack before calling frame
+        state["champ"] = jnp.zeros((len(spread), ph, pw), jnp.int32)
     elif spread is not None:
         state["spread"] = jnp.asarray(
             np.asarray(spread, np.float32).reshape(-1))
@@ -1462,7 +1481,9 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     inline_info = {}
     for pi, (name, wc, box, tiles, merge) in enumerate(passes):
         state["tiles"].append(jnp.asarray(tiles))
-        smode = _inline_eligible(plan, src, fi, name, spread, merge)
+        # inline-coords kernels don't carry the champion-id stack
+        smode = (None if tapsel else
+                 _inline_eligible(plan, src, fi, name, spread, merge))
         if smode is None:
             continue
         if plan.projection in (Projection.CUBEMAP,
@@ -1507,7 +1528,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                    in enumerate(passes))
     key = (geom, window, tuple(classes), fi, nch_out, float(brighten),
            nch_in, struct,
-           tuple(spread) if spread is not None else None, pertap)
+           tuple(spread) if spread is not None else None, pertap,
+           tapsel)
 
     n_taps = 0 if spread is None else (1 if pertap else len(spread))
 
@@ -1587,13 +1609,16 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                     canvas, st["coeffs"][name], sx + eps, sy,
                     dux, duy, dvx, dvy, st["tiles"][pi],
                     sp, degree=degree, n_taps=n_taps,
-                    wc=wc, merge_mask=mm,
-                    grid=sgrid_k if wc.sep else None)
+                    wc=wc, merge_mask=None if tapsel else mm,
+                    grid=sgrid_k if wc.sep else None,
+                    champ=st["champ"] if tapsel else None)
         return canvas, mask0
 
     def masked(st, canvas, mask0):
-        if pertap or full_cover:
-            # per-tap frames are masked by the caller; full-spherical
+        if pertap or tapsel or full_cover:
+            # per-tap frames are masked by the caller; tapsel frames
+            # carry validity in the per-pixel tap weights (an invalid
+            # facet is never a pixel's champion); full-spherical
             # sources cover every ray, so the finish mask is identity
             px = canvas
         else:
@@ -1636,10 +1661,12 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
 def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                 fi: int = 0, nch_out=None, brighten=None,
                 spread=None, pertap: bool = False, exclude=None,
-                finish: str = "image", preplanned=None):
+                finish: str = "image", preplanned=None,
+                tapsel: bool = False):
     frame, state, assigned, passes, key = _frame_builder(
         plan, src, window, classes, fi, nch_out, brighten, spread,
-        pertap, exclude=exclude, finish=finish, preplanned=preplanned)
+        pertap, exclude=exclude, finish=finish, preplanned=preplanned,
+        tapsel=tapsel)
     fn = _FRAME_CACHE.get(key)
     if fn is None:
         if finish == "reuse":
@@ -1910,17 +1937,52 @@ def _render_fast_solo_twined_partial(plan, src, window, out_h, out_w,
         plan, src, window, classes, spread=spread, exclude=band_t)
     n_fast = int((assigned >= 0).sum())
     n_band = int(band_t.sum())
+    if n_fast == 0 and core_t.any():
+        return None  # interior entirely unfusable: use the XLA path
+
+    # band tiles through the champion-routed kernel where admitted:
+    # with a single facet the 'champion' stack is just per-tap
+    # validity (champ_k = 0 where tap k's deflected ray is valid,
+    # -1 elsewhere), so one union-tap kernel instance computes
+    # sum_k w_k * [mask_k] * v_k - the same sum
+    # _patch_tiles_batch_twined_pertap evaluates at the XLA rate,
+    # tap-major (the reference's solo synopsis under twining,
+    # envutil_payload.cc:611-691)
+    band_frame = band_state = None
+    if band_t.any() and os.environ.get("ENVUTIL_NO_TAPSEL") != "1":
+        passes_b, assigned_b = plan_passes(
+            plan, src, window, classes, 0, spread, exclude=~band_t,
+            want_union=True, no_sep=True)
+        if int((assigned_b >= 0).sum()):
+            band_frame, band_state, _ab, _pb = fused_frame(
+                plan, src, window, classes, spread=spread,
+                tapsel=True, preplanned=(passes_b, assigned_b))
+            # -3: tile served by the champion-routed band frame (not
+            # a core pass index, not the -1 the patcher collects)
+            assigned = np.where(assigned_b >= 0, -3, assigned)
     if verbose:
         mix = ", ".join(f"{n}/{wc.name}:{(assigned == pi).sum()}"
                         for pi, (n, wc, _b, _t, _m) in enumerate(passes))
+        n_tsel = 0 if band_frame is None \
+            else int((assigned_b >= 0).sum())
         print(f"fastpath(twined/partial): {n_fast}/{assigned.size} "
-              f"tiles fused ({mix}), {n_band} band tiles per-tap, "
+              f"tiles fused ({mix}), {n_band} band tiles "
+              f"({n_tsel} champion-routed, "
+              f"{int((assigned == -1).sum())} per-tap), "
               f"{len(spread)} taps")
-    if n_fast == 0 and core_t.any():
-        return None  # interior entirely unfusable: use the XLA path
     combined = frame_fn(state, jnp.float32(0))
 
     bad = np.argwhere(assigned == -1)
+    if bad.size or band_frame is not None:
+        tap_masks = jnp.stack(
+            [_tap_mask_score(geom, window, src, 0,
+                             jnp.asarray([cx, cy], jnp.float32),
+                             basis)[0]
+             for (cx, cy, _w) in plan.spread])
+    if band_frame is not None:
+        st_b = dict(band_state)
+        st_b["champ"] = jnp.where(tap_masks, 0, -1).astype(jnp.int32)
+        combined = combined + band_frame(st_b, jnp.float32(0))
     if bad.size:
         c10 = _coords(geom, window, "orig", src, 0,
                       (ST.DERIV_BIAS, 0.0), basis)
@@ -1929,11 +1991,6 @@ def _render_fast_solo_twined_partial(plan, src, window, out_h, out_w,
         sx, sy = c0[0], c0[1]
         dux, dvx = _deriv(sx, c10[0], c01[0])
         duy, dvy = _deriv(sy, c10[1], c01[1])
-        tap_masks = jnp.stack(
-            [_tap_mask_score(geom, window, src, 0,
-                             jnp.asarray([cx, cy], jnp.float32),
-                             basis)[0]
-             for (cx, cy, _w) in plan.spread])
         combined = _patch_tiles_batch_twined_pertap(
             combined, src.spl.coeff, sx, sy, dux, duy, dvx, dvy,
             tap_masks, _bad_origins(bad), src.spl.degree, spread,
@@ -2342,10 +2399,24 @@ def _mesh_solo_twined_partial(plan, src, window, mesh_n, devices,
     n_fast = int((assigned >= 0).sum())
     if n_fast == 0 and core_t.any():
         return None
+    # champion-routed band tiles, planned once globally and
+    # band-sliced like the core plan - same treatment per tile as the
+    # single-device path (_render_fast_solo_twined_partial)
+    band_plans = None
+    if band_t.any() and os.environ.get("ENVUTIL_NO_TAPSEL") != "1":
+        passes_bt, assigned_bt = plan_passes(
+            plan, src, window, classes, 0, spread, exclude=~band_t,
+            want_union=True, no_sep=True)
+        if int((assigned_bt >= 0).sum()):
+            band_plans = split_passes_by_bands(passes_bt, assigned_bt,
+                                               mesh_n)
     if verbose:
+        n_tsel = 0 if band_plans is None \
+            else int((assigned_bt >= 0).sum())
         print(f"fastpath(mesh/twined/partial): {n_fast}/"
               f"{assigned.size} tiles fused, {int(band_t.sum())} band"
-              f" tiles per-tap, {len(spread)} taps, {mesh_n} devices")
+              f" tiles ({n_tsel} champion-routed), {len(spread)} "
+              f"taps, {mesh_n} devices")
     bands = split_passes_by_bands(passes, assigned, mesh_n)
     outs = []
     for k, ((passes_b, a_b), wb) in enumerate(
@@ -2356,10 +2427,29 @@ def _mesh_solo_twined_partial(plan, src, window, mesh_n, devices,
         state_k = jax.device_put(state, devices[k])
         eps_k = jax.device_put(jnp.float32(0), devices[k])
         img_b = frame_fn(state_k, eps_k)
-        bad = np.argwhere(a_b == -1)
+        ab_k = None
+        if band_plans is not None:
+            pb_k, ab_k = band_plans[k]
+        bad = np.argwhere((a_b == -1) if ab_k is None
+                          else ((a_b == -1) & (ab_k < 0)))
+        tap_masks = None
+        src_k = state_k["src"]
+        basis_k = state_k["basis"]
+        if bad.size or (ab_k is not None and (ab_k >= 0).any()):
+            tap_masks = jnp.stack(
+                [_tap_mask_score(geom, wb, src_k, 0,
+                                 jnp.asarray([cx, cy], jnp.float32),
+                                 basis_k)[0]
+                 for (cx, cy, _w) in plan.spread])
+        if ab_k is not None and (ab_k >= 0).any():
+            frame_b, state_b, _ab, _pb = fused_frame(
+                plan, src, wb, classes, spread=spread, tapsel=True,
+                preplanned=(pb_k, ab_k))
+            st_b = dict(jax.device_put(state_b, devices[k]))
+            st_b["champ"] = jnp.where(tap_masks, 0,
+                                      -1).astype(jnp.int32)
+            img_b = img_b + frame_b(st_b, eps_k)
         if bad.size:
-            src_k = state_k["src"]
-            basis_k = state_k["basis"]
             cb0 = _coords(geom, wb, "orig", src_k, 0, (0.0, 0.0),
                           basis_k)
             c10 = _coords(geom, wb, "orig", src_k, 0,
@@ -2369,11 +2459,6 @@ def _mesh_solo_twined_partial(plan, src, window, mesh_n, devices,
             sx, sy = cb0[0], cb0[1]
             dux, dvx = _deriv(sx, c10[0], c01[0])
             duy, dvy = _deriv(sy, c10[1], c01[1])
-            tap_masks = jnp.stack(
-                [_tap_mask_score(geom, wb, src_k, 0,
-                                 jnp.asarray([cx, cy], jnp.float32),
-                                 basis_k)[0]
-                 for (cx, cy, _w) in plan.spread])
             img_b = _patch_tiles_batch_twined_pertap(
                 img_b, src_k.spl.coeff, sx, sy, dux, duy, dvx, dvy,
                 tap_masks,
@@ -2566,19 +2651,70 @@ def _pertap_host_plan(plan, sources, window, classes,
                       "XLA)")
             stable.append((fi, passes_f, assigned_f))
 
+    # --- champion-routed seam band (tapsel): for voronoi synopses the
+    # per-tap combine regroups facet-major - out = sum_f sum_k
+    # w_k * [champ_k == f] * v_{f,k} - so each facet's band tiles run
+    # ONE union-tap kernel instance with per-pixel tap weights from a
+    # champion-id stack instead of K per-tap frames (the K-fold band
+    # cost cut; the reference evaluates the same sum tap-major through
+    # synopsis_t, envutil_payload.cc:611-691). Tiles any facet cannot
+    # admit under union-tap classes stay on the exact per-tap loop
+    # (old_t). Sec-variant (cubemap-source) facets carry face-dominance
+    # merge masks the tapsel kernel does not model: any such facet
+    # disables the decomposition for the frame.
+    tapsel_ok = (plan.synopsis != "hdr_merge"
+                 and plan.nchannels in (1, 3) and len(spread) > 1
+                 and len(sources) > 1
+                 and os.environ.get("ENVUTIL_NO_TAPSEL") != "1"
+                 and not any(n.startswith("sec")
+                             for src in sources
+                             for n in _variant_names(src)))
+    tapsel = []   # (fi, passes, assigned) champion-routed band frames
+    old_t = unstable_t
+    if tapsel_ok:
+        band_plans = []
+        old_t = np.zeros_like(unstable_t)
+        for fi, src in enumerate(sources):
+            passes_f, assigned_f = plan_passes(
+                plan, src, window, classes, fi, spread,
+                exclude=~unstable_t, want_union=True, no_sep=True)
+            band_plans.append((passes_f, assigned_f))
+            old_t = old_t | ((assigned_f == -1) & unstable_t)
+        for fi, src in enumerate(sources):
+            passes_f, assigned_f = band_plans[fi]
+            if old_t.any():
+                # a tile any facet busts goes whole to the per-tap
+                # loop (its pixels need every facet's value under the
+                # exact combine); replan the rest
+                passes_f, assigned_f = plan_passes(
+                    plan, src, window, classes, fi, spread,
+                    exclude=~(unstable_t & ~old_t), want_union=True,
+                    no_sep=True)
+            n_fast = int((assigned_f >= 0).sum())
+            if n_fast:
+                tapsel.append((fi, passes_f, assigned_f))
+            if verbose:
+                print(f"fastpath(multi/tapsel): facet {fi}: "
+                      f"{n_fast} champion-routed band tiles")
+        if verbose and old_t.any():
+            print(f"fastpath(multi/tapsel): {int(old_t.sum())} band "
+                  "tiles stay on the per-tap loop")
+
     pertap = []  # one (passes, assigned) per facet (tap-loop frames)
     for fi, src in enumerate(sources):
         passes_f, assigned_f = plan_passes(
             plan, src, window, classes, fi, spread,
-            exclude=stable_any_t if decomposed else None,
+            exclude=(~old_t if tapsel_ok else
+                     (stable_any_t if decomposed else None)),
             want_union=False)
         n_fast = int((assigned_f >= 0).sum())
         n_zero = int((assigned_f == ZERO_PASS).sum())
-        unf = int(((assigned_f == -1) & unstable_t).sum())
+        unf = int(((assigned_f == -1) & old_t).sum())
         if verbose:
             print(f"fastpath(multi/pertap): facet {fi}: {n_fast}/"
                   f"{assigned_f.size} tiles fused, {n_zero} empty")
-        if n_fast == 0 and unf > 0 and n_zero < assigned_f.size \
+        if not tapsel_ok and n_fast == 0 and unf > 0 \
+                and n_zero < assigned_f.size \
                 and not (stable_of == fi).any():
             return None  # one facet entirely unfusable: use XLA path
         if verbose and unf:
@@ -2586,7 +2722,8 @@ def _pertap_host_plan(plan, sources, window, classes,
                   f"{unf} tiles via XLA fallback")
         pertap.append((passes_f, assigned_f))
     return dict(spread=spread, stable_of=stable_of,
-                unstable_t=unstable_t, stable=stable, pertap=pertap)
+                unstable_t=unstable_t, stable=stable, pertap=pertap,
+                tapsel=tapsel, old_t=old_t)
 
 
 def _pertap_slice_band(S, k: int, n_bands: int):
@@ -2603,11 +2740,17 @@ def _pertap_slice_band(S, k: int, n_bands: int):
         if not ((S["stable_of"][sl] == fi).any()):
             continue
         stable.append((fi, pb, ab))
+    tapsel = []
+    for (fi, passes_f, assigned_f) in S["tapsel"]:
+        pb, ab = split_passes_by_bands(passes_f, assigned_f,
+                                       n_bands)[k]
+        if int((ab >= 0).sum()):
+            tapsel.append((fi, pb, ab))
     pertap = [split_passes_by_bands(p, a, n_bands)[k]
               for (p, a) in S["pertap"]]
     return dict(spread=S["spread"], stable_of=S["stable_of"][sl],
                 unstable_t=S["unstable_t"][sl], stable=stable,
-                pertap=pertap)
+                pertap=pertap, tapsel=tapsel, old_t=S["old_t"][sl])
 
 
 def fused_pertap_frame(plan, sources, window, verbose: bool = False,
@@ -2681,6 +2824,20 @@ def _pertap_build(plan, sources, window, classes, S,
                               float(src.static.brighten), key))
         stable_states.append(st)
 
+    old_t = S["old_t"]
+
+    # champion-routed band frames (one union-tap frame per facet with
+    # per-pixel tap weights; see _pertap_host_plan)
+    tapsel_frames = []  # (fi, frame, key)
+    tapsel_states = []
+    for (fi, passes_f, assigned_f) in S["tapsel"]:
+        src = sources[fi]
+        frame, st, assigned, passes, key = _frame_builder(
+            plan, src, window, classes, fi=fi, spread=spread,
+            tapsel=True, preplanned=(passes_f, assigned_f))
+        tapsel_frames.append((fi, frame, key))
+        tapsel_states.append(st)
+
     per_facet = []
     states = []
     keys = []
@@ -2692,7 +2849,7 @@ def _pertap_build(plan, sources, window, classes, S,
             pertap=True, preplanned=(passes_f, assigned_f))
         n_fast = int((assigned_f >= 0).sum())
         bad = tuple(map(tuple, np.argwhere(
-            (assigned_f == -1) & unstable_t)))
+            (assigned_f == -1) & old_t)))
         per_facet.append((frame_fn, n_fast, bad, src.spl.degree,
                           float(src.static.brighten)))
         states.append(state)
@@ -2702,9 +2859,10 @@ def _pertap_build(plan, sources, window, classes, S,
 
     statics = tuple(src.static for src in sources)
     n_taps = len(spread)
-    run_taps = bool(part) and bool(unstable_t.any()) or not decomposed
+    run_taps = (bool(part) and bool(old_t.any())
+                or not (decomposed or tapsel_frames))
 
-    def combined(sts, ssts, sp, unstable_px):
+    def combined(sts, ssts, tsts, sp, old_px):
         derivs = {}
 
         def facet_derivs(fi, basis):
@@ -2734,6 +2892,39 @@ def _pertap_build(plan, sources, window, classes, S,
                     _bad_origins(np.asarray(badf)), degree, spread,
                     plan.nchannels, brighten, use_mask=False)
             out = out + img_f  # disjoint tile support
+
+        # champion-routed band frames: the (n_taps, ph, pw) champion-
+        # id stack (voronoi winner over ALL facets per tap, -1 where
+        # no facet is valid) is computed once inside the jit; each
+        # tapsel frame compares it against its facet id per pixel, so
+        # the facet-major regrouped band sum needs one union-tap
+        # frame per facet (disjoint tile support across facets'
+        # contributions is NOT required - the weights partition
+        # pixels per tap, and the facet sums overlap-add exactly)
+        if tapsel_frames:
+            def champ_body(k, buf):
+                b = jnp.stack([sp[k, 0] * ST.DERIV_BIAS,
+                               sp[k, 1] * ST.DERIV_BIAS])
+                ms, scs = [], []
+                for fj in range(len(sources)):
+                    m, sc = _tap_mask_score(geom, window,
+                                            sts[fj]["src"], fj, b,
+                                            sts[fj]["basis"])
+                    ms.append(m)
+                    scs.append(sc)
+                ch = jnp.argmax(jnp.stack(scs),
+                                axis=0).astype(jnp.int32)
+                ch = jnp.where(jnp.stack(ms).any(axis=0), ch, -1)
+                return jax.lax.dynamic_update_slice(
+                    buf, ch[None], (k, 0, 0))
+
+            champ = jax.lax.fori_loop(
+                0, n_taps, champ_body,
+                jnp.zeros((n_taps, ph, pw), jnp.int32))
+            for si, (fi, frame, _k) in enumerate(tapsel_frames):
+                st_t = dict(tsts[si])
+                st_t["champ"] = champ
+                out = out + frame(st_t, jnp.float32(0))
 
         if not run_taps:
             return out
@@ -2783,24 +2974,25 @@ def _pertap_build(plan, sources, window, classes, S,
 
         acc0 = jnp.zeros((ph, pw, plan.nchannels), jnp.float32)
         acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
-        if not decomposed:
+        if not (decomposed or tapsel_frames):
             return acc
-        return out + jnp.where(unstable_px[..., None] > 0.5, acc, 0.0)
+        return out + jnp.where(old_px[..., None] > 0.5, acc, 0.0)
 
     mkey = (tuple(keys), plan.synopsis, plan.nchannels, n_taps,
             tuple(float(s.recip_step) for s in statics),
             tuple(pf[1:] for pf in per_facet), tuple(part),
             tuple(sf[0] for sf in stable_frames),
             tuple(sf[2:] for sf in stable_frames), decomposed,
-            run_taps)
+            run_taps, tuple(tf[0] for tf in tapsel_frames),
+            tuple(tf[2] for tf in tapsel_frames))
     fn = _PERTAP_CACHE.get(mkey)
     if fn is None:
         fn = _PERTAP_CACHE[mkey] = jax.jit(combined)
     spread_arr = jnp.asarray(np.asarray(spread, np.float32))
-    unstable_px = jnp.asarray(np.repeat(np.repeat(
-        unstable_t.astype(np.float32), PR.TILE_H, 0), PR.TILE_W, 1))
-    return fn, (tuple(states), tuple(stable_states), spread_arr,
-                unstable_px)
+    old_px = jnp.asarray(np.repeat(np.repeat(
+        old_t.astype(np.float32), PR.TILE_H, 0), PR.TILE_W, 1))
+    return fn, (tuple(states), tuple(stable_states),
+                tuple(tapsel_states), spread_arr, old_px)
 
 
 def _render_fast_multi_pertap(plan, sources, window, out_h, out_w,

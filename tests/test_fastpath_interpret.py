@@ -170,6 +170,31 @@ def test_multi_twined_champion_stable_mesh_bit_equal(capsys):
     np.testing.assert_allclose(meshed, single, rtol=4e-7, atol=4e-7)
 
 
+def test_multi_twined_tapsel_band_ab(capsys, monkeypatch):
+    """Champion-routed seam band (tapsel): the voronoi per-tap combine
+    regrouped facet-major - sum_f sum_k w_k * [champ_k == f] * v_{f,k}
+    - so each facet's band tiles run ONE union-tap kernel instance
+    with per-pixel tap weights. Must engage on a two-facet twined
+    stitch and match the per-tap loop (ENVUTIL_NO_TAPSEL=1) to
+    reassociation level (same taps, same weights; only the summation
+    grouping differs)."""
+    from envutil_tpu.runtime import fastpath
+
+    fct0, src0 = _mk_partial_facet(-10.0, 2)
+    fct1, src1 = _mk_partial_facet(40.0, 3)
+    plan = _mk_plan([fct0, fct1], 1, -1)
+    new = fastpath.render_fast(plan, [src0, src1], verbose=True)
+    assert new is not None, "fused path declined"
+    out = capsys.readouterr().out
+    assert "champion-routed band tiles" in out, \
+        f"tapsel did not engage:\n{out}"
+    fastpath._PERTAP_CACHE.clear()
+    monkeypatch.setenv("ENVUTIL_NO_TAPSEL", "1")
+    old = fastpath.render_fast(plan, [src0, src1], verbose=True)
+    assert old is not None
+    np.testing.assert_allclose(new, old, rtol=2e-6, atol=2e-6)
+
+
 def test_multi_untwined_masked_merge():
     """Untwined two-facet stitch with a partial facet: facet-edge
     tiles run as masked MERGE passes (validity-dominance overlays) -

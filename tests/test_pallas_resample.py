@@ -397,6 +397,86 @@ def test_resample_twined_sep_grid(sheared):
     np.testing.assert_allclose(out, np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.parametrize("sheared", [False, True],
+                         ids=["plain", "sheared"])
+@pytest.mark.parametrize("union", [True, False],
+                         ids=["union", "pertap"])
+def test_resample_twined_tapsel(sheared, union):
+    """Champion-routed per-pixel tap weights (tapsel): a
+    (n_taps, H, W) champion-id stack rides into the kernel and tap ti
+    contributes only where champ[ti] == fi. Running the kernel once
+    per 'facet' id and summing must reproduce the per-pixel
+    champion-select of the per-tap reference loop - the voronoi seam
+    combine regrouped facet-major (fastpath._pertap_build)."""
+    import dataclasses
+    import itertools
+
+    img = jnp.asarray(RNG.uniform(0, 1, (300, 420, 3)), jnp.float32)
+    spl = S.make_spline(img, 3, bcs=(S.MIRROR, S.MIRROR))
+    H, W = 256, 256
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    sx = (60 + 0.9 * jj + 3 * np.sin(ii / 40)).astype(np.float32)
+    sy = (40 + 0.7 * ii + 0.15 * jj
+          + 2 * np.sin(jj / 50)).astype(np.float32)
+    coeffp = jnp.moveaxis(spl.coeff, -1, 0)
+    px = jnp.asarray(sx + spl.pad)
+    py = jnp.asarray(sy + spl.pad)
+    n_taps = 4
+    g = np.linspace(-0.5, 0.5, 2)
+    spread = tuple((float(cx), float(cy), 1.0 / n_taps)
+                   for cy, cx in itertools.product(g, g))
+    dux = jnp.full(px.shape, 0.9, jnp.float32)
+    duy = jnp.full(px.shape, 0.2, jnp.float32)
+    dvx = jnp.full(px.shape, -0.2, jnp.float32)
+    dvy = jnp.full(px.shape, 0.8, jnp.float32)
+    cmx = max(abs(c[0]) for c in spread)
+    cmy = max(abs(c[1]) for c in spread)
+    mx = cmx * jnp.abs(dux) + cmy * jnp.abs(dvx)
+    my = cmx * jnp.abs(duy) + cmy * jnp.abs(dvy)
+    stats = [np.asarray(s) for s in
+             PR.tile_stats_fit_range(px, py, mx, my, 3)]
+    u_span = int(stats[9].max()) if union else 0
+    if sheared:
+        wc = dataclasses.replace(PR.SHEAR_LOCAL_3, u_span=u_span)
+        tiles = _shear_tiles(stats, 2, 2, 3, wc, coeffp.shape[1],
+                             coeffp.shape[2])
+    else:
+        wc = dataclasses.replace(PR.LOCAL, u_span=u_span)
+        tiles = _compact_tiles(stats, 2, 2, 3, wc, coeffp.shape[1],
+                               coeffp.shape[2])
+    # a seam-like champion field: facet 0 wins left of a wavy
+    # diagonal (shifted per tap, like deflected rays move the seam),
+    # facet 1 right of it, nobody in a far corner (champ == -1)
+    ch = np.zeros((n_taps, H, W), np.int32)
+    for k in range(n_taps):
+        seam = 100 + 0.4 * ii + 10 * np.sin(jj / 30) + 7 * k
+        ch[k] = np.where(jj < seam, 0, 1)
+        ch[k][(ii > 200 + 5 * k) & (jj > 220)] = -1
+    champ = jnp.asarray(ch)
+    # facet id rides appended to the flat spread
+    outs = []
+    for fi in (0, 1):
+        spread_fi = jnp.asarray(np.concatenate(
+            [np.asarray(spread, np.float32).ravel(),
+             np.asarray([fi], np.float32)]))
+        canvas = jnp.zeros((coeffp.shape[0],) + px.shape, jnp.float32)
+        out = PR.resample_twined_into(
+            canvas, coeffp, px, py, dux, duy, dvx, dvy,
+            jnp.asarray(tiles), spread_fi, degree=3, n_taps=n_taps,
+            wc=wc, interpret=True, champ=champ)
+        outs.append(np.moveaxis(np.asarray(out), 0, -1))
+    ref = [np.zeros((H, W, 3), np.float32) for _fi in (0, 1)]
+    for k, (cx, cy, wgt) in enumerate(spread):
+        v = np.asarray(S.eval_spline(
+            spl, px + cx * dux + cy * dvx - spl.pad,
+            py + cx * duy + cy * dvy - spl.pad, apply_gate=False))
+        for fi in (0, 1):
+            sel = (ch[k] == fi)[..., None]
+            ref[fi] = ref[fi] + np.where(sel, wgt * v, 0.0)
+    for fi in (0, 1):
+        np.testing.assert_allclose(outs[fi], ref[fi], atol=5e-5)
+
+
 @pytest.mark.parametrize("wc_name", ["shear_minify_3", "shear_steep"],
                          ids=["minify3", "steep"])
 def test_resample_minify_shear_classes(wc_name):
