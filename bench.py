@@ -116,18 +116,25 @@ def main():
 
     runs = 24
 
+    # Both loop variants carry the finished IMAGE through the chained
+    # loop: the vanishing carry-dependent coordinate offset defeats
+    # loop-invariant hoisting, and the image carry forces the
+    # interleaved finish to materialize every frame - a scalar carry
+    # (acc + img.ravel()[0]) would let XLA slice the finish
+    # transpose/interleave away and time only the planar kernels. The
+    # reference's 'frame rendering time' writes the interleaved target
+    # array (envutil_payload.cc:476-557) and serve ships
+    # frame.tobytes(), so the interleave is production cost.
     if _os.environ.get("ENVUTIL_BENCH_FRESH"):
         # A/B knob: allocate + zero-fill a fresh canvas every frame
         # (the one-shot CLI contract) instead of the steady-state one
         @jax.jit
-        def loop(st):
-            def body(i, carry):
-                # the vanishing carry-dependent coordinate offset
-                # defeats loop-invariant hoisting: every iteration
-                # recomputes coords, kernel passes, and the finish
-                img = frame_fn(st, carry * 1e-30)
-                return carry + img.ravel()[0]
-            return jax.lax.fori_loop(0, runs, body, jnp.float32(0))
+        def loop(st, im0):
+            def body(i, img):
+                return frame_fn(st, img.ravel()[0] * 1e-30)
+            return jax.lax.fori_loop(0, runs, body, im0).ravel()[0]
+
+        loop_args = (state, out)
     else:
         # steady-state contract (default): carry the canvas through
         # the loop (finish='reuse' skips the per-frame zero-fill,
@@ -138,19 +145,22 @@ def main():
         ru_fn, ru_state, _a, _p = fused_frame(plan, src, window,
                                               classes, finish="reuse")
         canvas0 = jnp.zeros((3, plan.height, plan.width), jnp.float32)
+        img0, canvas0 = ru_fn(ru_state, canvas0, jnp.float32(0))
+        img0 = jax.block_until_ready(img0)
 
         @jax.jit
-        def loop(st):
+        def loop(st, carry0):
             def body(i, carry):
-                acc, cv = carry
-                img, cv = ru_fn(st, cv, acc * 1e-30)
-                return acc + img.ravel()[0], cv
+                img, cv = carry
+                return ru_fn(st, cv, img.ravel()[0] * 1e-30)
             return jax.lax.fori_loop(0, runs, body,
-                                     (jnp.float32(0), canvas0))[0]
+                                     carry0)[0].ravel()[0]
 
-    float(loop(state))  # compile + warm
+        loop_args = (ru_state, (img0, canvas0))
+
+    float(loop(*loop_args))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(state))
+    float(loop(*loop_args))
     dt = (time.perf_counter() - t0) / runs
 
     n_px = plan.width * plan.height

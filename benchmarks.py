@@ -45,18 +45,26 @@ def _timeit_frame(frame_fn, args, n_px, runs=24):
     import jax
     import jax.numpy as jnp
 
-    out = jax.block_until_ready(frame_fn(*args, jnp.float32(0)))
+    img0 = jax.block_until_ready(frame_fn(*args, jnp.float32(0)))
 
     @jax.jit
-    def loop(*a):
-        def body(i, carry):
-            img = frame_fn(*a, carry * 1e-30)
-            return carry + img.ravel()[0]
-        return jax.lax.fori_loop(0, runs, body, jnp.float32(0))
+    def loop(a, im0):
+        def body(i, img):
+            # the vanishing carry-dependent coordinate offset chains
+            # the iterations, and carrying the IMAGE itself forces the
+            # finished interleaved frame to materialize every
+            # iteration - a scalar carry (acc + img.ravel()[0]) lets
+            # XLA slice the finish transpose/interleave away, timing
+            # only the planar kernels (the reference's 'frame
+            # rendering time' writes the interleaved target array,
+            # envutil_payload.cc:476-557, and serve ships
+            # frame.tobytes() - the interleave is production cost)
+            return frame_fn(*a, img.ravel()[0] * 1e-30)
+        return jax.lax.fori_loop(0, runs, body, im0).ravel()[0]
 
-    float(loop(*args))
+    float(loop(args, img0))
     t0 = time.perf_counter()
-    float(loop(*args))
+    float(loop(args, img0))
     dt = (time.perf_counter() - t0) / runs
     # the experimental tunnel costs ~20-30ms per *invocation*
     # (dispatch + scalar fetch); 24 chained frames amortize it to
@@ -74,19 +82,21 @@ def _timeit_frame_reuse(frame_fn, state, canvas_shape, n_px, runs=24):
     import jax.numpy as jnp
 
     canvas0 = jnp.zeros(canvas_shape, jnp.float32)
+    img0, canvas0 = frame_fn(state, canvas0, jnp.float32(0))
+    img0 = jax.block_until_ready(img0)
 
     @jax.jit
-    def loop(st, cv0):
+    def loop(st, carry0):
         def body(i, carry):
-            acc, cv = carry
-            img, cv = frame_fn(st, cv, acc * 1e-30)
-            return (acc + img.ravel()[0], cv)
-        return jax.lax.fori_loop(0, runs, body,
-                                 (jnp.float32(0), cv0))[0]
+            img, cv = carry
+            # image carried: the interleaved finish materializes
+            # every frame (see _timeit_frame)
+            return frame_fn(st, cv, img.ravel()[0] * 1e-30)
+        return jax.lax.fori_loop(0, runs, body, carry0)[0].ravel()[0]
 
-    float(loop(state, canvas0))
+    float(loop(state, (img0, canvas0)))
     t0 = time.perf_counter()
-    float(loop(state, canvas0))
+    float(loop(state, (img0, canvas0)))
     dt = (time.perf_counter() - t0) / runs
     return n_px / 1e6 / dt
 

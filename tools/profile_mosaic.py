@@ -181,16 +181,26 @@ def main():
     agg = Counter()
     for e in ev:
         if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev:
+            # wrapper ops (the jit entry and the chained frame loop)
+            # CONTAIN the real ops - counting them would double the
+            # total; leaf ops alone are the device-busy time
+            if e["name"].startswith(("jit_", "while")):
+                continue
             agg[e["name"]] += e["dur"]
     total = sum(agg.values())
-    print(f"# device total {total / 1e3 / runs:.2f} ms/frame over "
-          f"{runs} frames; per-op (>=0.5%):")
-    for name, us in agg.most_common(40):
+    print(f"# device busy {total / 1e3 / runs:.2f} ms/frame over "
+          f"{runs} frames (leaf ops; wrappers excluded); per-op "
+          "(>=0.1%):")
+    shown = 0
+    for name, us in agg.most_common(60):
         ms = us / 1e3 / runs
         pct = 100.0 * us / max(total, 1)
-        if pct < 0.5:
+        if pct < 0.1:
             break
+        shown += us
         print(f"{ms:9.3f} ms  {pct:5.1f}%  {name}")
+    rest = total - shown
+    print(f"{rest / 1e3 / runs:9.3f} ms  {100.0 * rest / max(total, 1):5.1f}%  (all ops < 0.1%)")
 
 
 if __name__ == "__main__":
