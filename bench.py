@@ -144,7 +144,10 @@ def main():
         # v5e chip: 2181 vs 2120 Mpix/s for the fresh-canvas variant.
         ru_fn, ru_state, _a, _p = fused_frame(plan, src, window,
                                               classes, finish="reuse")
-        canvas0 = jnp.zeros((3, plan.height, plan.width), jnp.float32)
+        # (ph, 3*pw) when the in-kernel interleaved finish is
+        # admitted (the canvas bytes are then the row-major (H, W, 3)
+        # image); planar (3, ph, pw) otherwise
+        canvas0 = jnp.zeros(ru_fn.canvas_shape, jnp.float32)
         img0, canvas0 = ru_fn(ru_state, canvas0, jnp.float32(0))
         img0 = jax.block_until_ready(img0)
 
@@ -168,6 +171,7 @@ def main():
     rec = {
         "metric": "reprojection Mpix/s/chip (8K equirect->cubemap, "
                   "degree-3 b-spline, fused pallas kernel; "
+                  "materialized-finish steady-state contract; "
                   f"{frac_fast:.0%} tiles on fast path)",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",

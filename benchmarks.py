@@ -20,17 +20,20 @@ Configs (BASELINE.md / BASELINE.json):
       the one-jit multi-facet frame
 
 Latest sweep on one TPU v5e chip (2026-08-21 round 4, complete
-frames, all solo configs 100% fused - pass-fitted class shrinking +
-separable-grid twined routing on top of the union-tap kernels and
-inline-coordinates kernels; see NOTES.md for the full history):
-16K/16-tap exact 592.0, 16K --twine_pyramid 1145.3, 4K bilinear
-1643.7, 8K/4-tap twine 1141.9, 3-facet 1371.8, 6-facet + lens 763.1,
-6-facet 4-tap twined stitch 373.7 (champion-stable), biatan6->stereo
-532.2, cubemap->equirect 831.3, biatan6->fisheye 566.1, HDR merge
-967.8, headline 8K equirect->cubemap 3362.7 (bench.py,
-driver-captured, donated-canvas steady state).
-Round-2 numbers for comparison: 16K/16-tap 184.8, 4K 972, 3-facet
-881.8, headline 2181.5; round-1: headline 1532, 4K 893.
+frames, MATERIALIZED-FINISH contract - the timing loop carries the
+finished interleaved image, so the planar->interleaved relayout is
+paid every iteration like production serve/save; see NOTES.md
+"Benchmark-semantics finding"): headline 8K equirect->cubemap 2980.7
+(bench.py; driver-captured 2985.1), 16K/16-tap exact 593.2, 16K
+--twine_pyramid 927.4, 4K bilinear 1597.5, 8K/4-tap twine 842.6,
+biatan6->stereo 520.3. Configs not re-measured under the new
+contract (old-contract values, finish sliced away by XLA): 3-facet
+1371.8, 6-facet + lens 763.1, 6-facet 4-tap twined stitch 634.9
+(champion-routed bands), cubemap->equirect 831.3, biatan6->fisheye
+566.1, HDR merge 967.8.
+Old-contract history for like-for-like comparison: round-4 headline
+3362.7, round-3 3060, round-2 2181.5 (16K/16-tap 184.8, 4K 972,
+3-facet 881.8), round-1 1532.
 """
 
 import json
@@ -204,11 +207,9 @@ def main():
             plan, src, window, spread=spread)
         if spread is None or any(p[4] for p in passes):
             return _timeit_frame(frame, (state,), n_px), assigned
-        ph, pw = window[1] - window[0], window[3] - window[2]
-        nch = src.spl.coeff.shape[-1]
         ru, ru_state, _a, _p = FP.fused_frame(
             plan, src, window, spread=spread, finish="reuse")
-        return _timeit_frame_reuse(ru, ru_state, (nch, ph, pw),
+        return _timeit_frame_reuse(ru, ru_state, ru.canvas_shape,
                                    n_px), assigned
 
     def cfg_4b():

@@ -182,17 +182,40 @@ def pick_synopsis(name: str, nch: int):
     raise ValueError(f"unknown synopsis {name!r}")
 
 
+def _tangential_basis(p0, p10, p01):
+    """--twine_precise derivative basis (twining.h:152-263): instead
+    of plain differencing, draw a line through the neighbour ray
+    point with the pickup ray as direction and take its closest point
+    to the pickup - the orthogonal projection of the neighbour onto
+    the pickup's tangent plane (for unit pickup rays). The reference
+    assigns Imath::Line3's ``dir`` member the UNNORMALIZED pickup ray
+    and uses closestPointTo's ``pos + dir * ((q - pos) . dir)``
+    verbatim, so we replicate exactly that formula (rays from the
+    steppers are normalized, making it the textbook projection; any
+    non-unit scale reproduces the reference bit for bit)."""
+    def proj(pn):
+        # t = (p0 - pn) . p0 ;  d = pn + t * p0 - p0
+        t = sum((a - b) * a for a, b in zip(p0, pn))
+        return tuple(b + t * a - a for a, b in zip(p0, pn))
+    return proj(p10), proj(p01)
+
+
 def twined(syn, sources, ninepacks, nch: int, spread,
-           bias: float = 1.0 / DERIV_BIAS):
+           bias: float = 1.0 / DERIV_BIAS, precise: bool = False):
     """Apply a synopsis through a twining spread: ninepacks are
     (p0, p10, p01) ray triples per facet; each spread coefficient
     (cx, cy, w) deflects every facet's rays by cx*du + cy*dv (du, dv
     differenced and implicitly scaled back up by `bias` = 1/0.25,
-    envutil_payload.cc:611-691)."""
+    envutil_payload.cc:611-691). ``precise`` selects the
+    tangent-plane derivative basis (--twine_precise,
+    environment.h:1997 -> twining.h deriv_tangential)."""
     derivs = []
     for p0, p10, p01 in ninepacks:
-        du = tuple(a - b for a, b in zip(p10, p0))
-        dv = tuple(a - b for a, b in zip(p01, p0))
+        if precise:
+            du, dv = _tangential_basis(p0, p10, p01)
+        else:
+            du = tuple(a - b for a, b in zip(p10, p0))
+            dv = tuple(a - b for a, b in zip(p01, p0))
         derivs.append((p0, du, dv))
 
     out = None

@@ -106,6 +106,10 @@ class WindowClass:
     # (_union_sep_weights). Admission: per-vreg all(dvx == 0), stat 10
     # of tile_stats_fit_range.
     sep: bool = False
+    # ladder provenance: the module-level constant this class (or a
+    # pass-fitted shrink of it, fastpath._fitted_class) descends from.
+    # Excluded from eq/hash so fitted clones stay value-comparable.
+    label: str = dataclasses.field(default="", compare=False)
 
     @property
     def name(self):
@@ -175,6 +179,14 @@ SHEAR_STEEP = WindowClass(win_h=640, win_w=896, cand_r=22, cand_c=4,
                           k_taps=6, shear_q=4)
 SHEAR_DIAG = WindowClass(win_h=512, win_w=512, cand_r=17, cand_c=3,
                          k_taps=16, shear_q=3)
+
+for _cname in ("LOCAL", "TIGHT", "ALIGNED", "ROWS4", "ROWS6", "MID",
+               "MINIFY", "DIAG", "STEEP", "SHEAR4", "SHEAR6",
+               "SHEAR6_3", "SHEAR_MID", "SHEAR_LOCAL", "SHEAR_LOCAL_3",
+               "SHEAR_MINIFY", "SHEAR_MINIFY_3", "SHEAR_STEEP",
+               "SHEAR_DIAG"):
+    object.__setattr__(globals()[_cname], "label", _cname)
+del _cname
 
 
 def aligned_dims(hp: int, wp: int, wc: WindowClass) -> tuple[int, int]:
@@ -961,12 +973,126 @@ def _load_tile_window(tiles_ref, coeff_ref, scratch, *, t, stride,
     return win
 
 
+# interleave emit strategy (A/B knob; 'gather' = static lane
+# shuffles on the VPU, 'mxu' = permutation matmul on the idle MXU,
+# 'repeat' = pltpu.repeat lane stretch + selects)
+_ILV_MODE = os.environ.get("ENVUTIL_ILV_MODE", "gather")
+
+_ILV_PERM = None
+
+
+def _ilv_perm_matrix():
+    global _ILV_PERM
+    if _ILV_PERM is None:
+        n = 3 * TILE_W
+        p = np.zeros((n, n), np.float32)
+        cols = np.arange(n)
+        p[TILE_W * (cols % 3) + cols // 3, cols] = 1.0
+        _ILV_PERM = p
+    return jnp.asarray(_ILV_PERM)
+
+
+def _emit_rows(out_ref, r, vals, *, interleave: bool,
+               mask_f32=None, cin_ref=None):
+    """Write one 8-row block of per-channel values into the output.
+
+    ``interleave=False``: planar store per channel plane (out block
+    ``(nch, TILE_H, TILE_W)``), optionally merged over the prior
+    canvas contents where ``mask_f32 <= 0.5``.
+
+    ``interleave=True`` (nch == 3 only): the out block is
+    ``(TILE_H, 3*TILE_W)`` holding pixel-interleaved rows
+    ``r0 g0 b0 r1 g1 b1 ...`` - exactly the row-major bytes of an
+    ``(H, W, 3)`` image, so the caller's ``reshape(H, W, 3)`` is a
+    layout no-op and the XLA planar->interleaved finish relayout
+    (0.04-0.9 ms/frame on the 8K headline; the reference's timed
+    render writes an interleaved target, envutil_payload.cc:476-557)
+    disappears. Each of the 3 output vregs gathers its source pixels
+    from the three channel accumulators with STATIC per-lane indices
+    (``(j*128+l)//3`` - one (8,128) lane shuffle per (channel,
+    out-vreg) pair, 9 per row block) and channel-selects on the
+    static period-3 lane pattern; the merge mask rides through the
+    same shuffle."""
+    sl8 = pl.ds(r * 8, 8)
+    nch = len(vals)
+    if not interleave:
+        m = None if mask_f32 is None else mask_f32 > 0.5
+        for ch in range(nch):
+            if m is not None:
+                out_ref[ch, sl8, :] = jnp.where(
+                    m, vals[ch], cin_ref[ch, sl8, :])
+            else:
+                out_ref[ch, sl8, :] = vals[ch]
+        return
+    assert nch == 3, "interleaved emit is 3-channel only"
+    if mask_f32 is None and _ILV_MODE == "mxu":
+        # permutation as an f32 matmul on the (otherwise idle) MXU:
+        # out[s, p] = cat[s, 128*(p%3) + p//3] with cat the lane
+        # concat of the three accumulators. P is 0/1 with exactly one
+        # 1 per output column, so the f32 contraction is exact (one
+        # nonzero term). The gather-bound VPU never sees the
+        # permutation; Mosaic overlaps the MXU passes with the next
+        # row-block's gathers.
+        cat = jnp.concatenate(list(vals), axis=1)       # (8, 384)
+        out_ref[sl8, :] = jax.lax.dot_general(
+            cat, _ilv_perm_matrix(),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return
+    if mask_f32 is None and _ILV_MODE == "repeat":
+        # lane-stretch each accumulator by 3 and channel-select on
+        # the static period-3 pattern: 3 repeats + 2 selects per
+        # row block
+        cha = jax.lax.broadcasted_iota(jnp.int32, (8, 3 * TILE_W),
+                                       1) % 3
+        reps = [pltpu.repeat(v, 3, axis=1) for v in vals]
+        out_ref[sl8, :] = jnp.where(
+            cha == 0, reps[0], jnp.where(cha == 1, reps[1], reps[2]))
+        return
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1)
+    for j in range(3):
+        pos = j * TILE_W + lane
+        idx = pos // 3
+        cha = pos % 3
+        g = [jnp.take_along_axis(v, idx, axis=1) for v in vals]
+        o = jnp.where(cha == 0, g[0],
+                      jnp.where(cha == 1, g[1], g[2]))
+        csl = pl.ds(j * TILE_W, TILE_W)
+        if mask_f32 is not None:
+            mg = jnp.take_along_axis(mask_f32, idx, axis=1) > 0.5
+            o = jnp.where(mg, o, cin_ref[sl8, csl])
+        out_ref[sl8, csl] = o
+
+
+def _emit_rows_passthrough(out_ref, r, cin_ref, *, interleave: bool,
+                           nch: int):
+    """Merge pass row block with no dominated pixels: copy the prior
+    canvas contents through."""
+    sl8 = pl.ds(r * 8, 8)
+    if interleave:
+        out_ref[sl8, :] = cin_ref[sl8, :]
+    else:
+        for ch in range(nch):
+            out_ref[ch, sl8, :] = cin_ref[ch, sl8, :]
+
+
+def _emit_rows_zero(out_ref, r, *, interleave: bool, nch: int):
+    """Unchampioned tapsel row block: write zeros."""
+    sl8 = pl.ds(r * 8, 8)
+    if interleave:
+        out_ref[sl8, :] = jnp.zeros((8, 3 * TILE_W), jnp.float32)
+    else:
+        for ch in range(nch):
+            out_ref[ch, sl8, :] = jnp.zeros((8, TILE_W), jnp.float32)
+
+
 def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
                           sx_ref, sy_ref,     # (TILE_H, TILE_W) VMEM
                           *rest,
                           degree: int, wc: WindowClass, nch: int,
                           nt: int, dbuf: bool, unroll: int,
-                          stride: int, merge: bool = False):
+                          stride: int, merge: bool = False,
+                          interleave: bool = False):
     # merge=False: coeff, canvas (aliased output, unread), out
     # merge=True:  mask (f32 TILE blocks), coeff, canvas-in (VMEM
     #              blocks, aliased to the output), out - tile pixels
@@ -1011,24 +1137,23 @@ def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
             # split between faces leaves whole row-blocks to the other
             # faces' passes - skip their gather work entirely and pass
             # the prior canvas through
-            m = mask_ref[pl.ds(r * 8, 8), :] > 0.5
+            mf = mask_ref[pl.ds(r * 8, 8), :]
+            any_m = jnp.any(mf > 0.5)
 
-            @pl.when(jnp.any(m))
+            @pl.when(any_m)
             def _dominated():
                 accs = eval_rows(r)
-                for ch in range(nch):
-                    out_ref[ch, pl.ds(r * 8, 8), :] = jnp.where(
-                        m, accs[ch], cin_ref[ch, pl.ds(r * 8, 8), :])
+                _emit_rows(out_ref, r, accs, interleave=interleave,
+                           mask_f32=mf, cin_ref=cin_ref)
 
-            @pl.when(jnp.logical_not(jnp.any(m)))
+            @pl.when(jnp.logical_not(any_m))
             def _pass_through():
-                for ch in range(nch):
-                    out_ref[ch, pl.ds(r * 8, 8), :] = \
-                        cin_ref[ch, pl.ds(r * 8, 8), :]
+                _emit_rows_passthrough(out_ref, r, cin_ref,
+                                       interleave=interleave,
+                                       nch=nch)
         else:
             accs = eval_rows(r)
-            for ch in range(nch):
-                out_ref[ch, pl.ds(r * 8, 8), :] = accs[ch]
+            _emit_rows(out_ref, r, accs, interleave=interleave)
         return _
 
     # Mosaic lowers fori_loop with unroll=1 or full unroll only
@@ -1037,14 +1162,16 @@ def _resample_kernel_into(tiles_ref,          # scalar prefetch (nt*6,)
 
 
 @functools.partial(jax.jit, static_argnames=("degree", "wc",
-                                             "interpret", "unroll"))
+                                             "interpret", "unroll",
+                                             "interleave"))
 def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                          sx: jnp.ndarray, sy: jnp.ndarray,
                          tiles: jnp.ndarray, *, degree: int,
                          wc: WindowClass = LOCAL,
                          interpret: bool = False,
                          unroll: bool = False,
-                         merge_mask: jnp.ndarray = None
+                         merge_mask: jnp.ndarray = None,
+                         interleave: bool = False
                          ) -> jnp.ndarray:
     """Compact-grid variant of resample_planar: one grid step per
     listed tile (no inactive steps, no per-tile traffic for tiles the
@@ -1087,10 +1214,20 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         scratch.append(pltpu.VMEM((nch, wc.win_h, wc.win_w),
                                   jnp.float32))
 
+    if interleave:
+        assert nch == 3 and canvas.ndim == 2, \
+            "interleave: 3-channel (ph, 3*pw) canvas"
     in_block = pl.BlockSpec((TILE_H, TILE_W),
                             lambda t, o: (o[t * stride],
                                           o[t * stride + 1]),
                             memory_space=pltpu.VMEM)
+    canvas_block = (pl.BlockSpec(
+        (TILE_H, 3 * TILE_W),
+        lambda t, o: (o[t * stride + 2], o[t * stride + 3]),
+        memory_space=pltpu.VMEM) if interleave else pl.BlockSpec(
+        (nch, TILE_H, TILE_W),
+        lambda t, o: (0, o[t * stride + 2], o[t * stride + 3]),
+        memory_space=pltpu.VMEM))
     merge = merge_mask is not None
     if merge:
         # the canvas rides as a VMEM-blocked *input* mapped to the
@@ -1098,11 +1235,7 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         # read the prior contents it merges over
         in_specs = [in_block, in_block, in_block,
                     pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec(
-                        (nch, TILE_H, TILE_W),
-                        lambda t, o: (0, o[t * stride + 2],
-                                      o[t * stride + 3]),
-                        memory_space=pltpu.VMEM)]
+                    canvas_block]
         operands = (tiles.reshape(-1), sx, sy, merge_mask, coeff,
                     canvas)
         alias = {5: 0}
@@ -1116,16 +1249,13 @@ def resample_planar_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (nch, TILE_H, TILE_W),
-            lambda t, o: (0, o[t * stride + 2], o[t * stride + 3]),
-            memory_space=pltpu.VMEM),
+        out_specs=canvas_block,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_resample_kernel_into, degree=degree,
                              wc=wc, nch=nch, nt=nt, dbuf=dbuf,
                              unroll=unroll, stride=stride,
-                             merge=merge)
+                             merge=merge, interleave=interleave)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
@@ -1279,7 +1409,8 @@ def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
                         degree: int, wc: WindowClass, nch: int,
                         nt: int, dbuf: bool, unroll: int, stride: int,
                         tmode: str, consts: tuple,
-                        smode: str = "sph"):
+                        smode: str = "sph",
+                        interleave: bool = False):
     t = pl.program_id(0)
     ext = stride >= TILE_ROW_INTS_EXT
     win = _load_tile_window(tiles_ref, coeff_ref, scratch, t=t,
@@ -1315,8 +1446,7 @@ def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
                 cb0 = pl.multiple_of(tiles_ref[base + 1], 128)
             accs = _eval_row_block(sx, sy, win, degree=degree, wc=wc,
                                    nch=nch, rb0=rb0, cb0=cb0)
-        for ch in range(nch):
-            out_ref[ch, sl8, :] = accs[ch]
+        _emit_rows(out_ref, r, accs, interleave=interleave)
         return _
 
     jax.lax.fori_loop(0, TILE_H // 8, row_body, 0,
@@ -1326,7 +1456,7 @@ def _inline_kernel_into(tiles_ref, faces_ref,   # scalar prefetch
 @functools.partial(jax.jit, static_argnames=("degree", "wc",
                                              "interpret", "unroll",
                                              "tmode", "consts",
-                                             "smode"))
+                                             "smode", "interleave"))
 def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                          tiles: jnp.ndarray, faces: jnp.ndarray,
                          xfeat: jnp.ndarray, yfeat: jnp.ndarray,
@@ -1335,7 +1465,8 @@ def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
                          smode: str = "sph",
                          wc: WindowClass = LOCAL,
                          interpret: bool = False,
-                         unroll: bool = False) -> jnp.ndarray:
+                         unroll: bool = False,
+                         interleave: bool = False) -> jnp.ndarray:
     """resample_planar_into with the coordinate chain fused into the
     kernel (see the section comment above). Operands beyond the shared
     ones:
@@ -1390,21 +1521,28 @@ def resample_inline_into(canvas: jnp.ndarray, coeff: jnp.ndarray,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if interleave:
+        assert nch == 3 and canvas.ndim == 2, \
+            "interleave: 3-channel (ph, 3*pw) canvas"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
+        out_specs=(pl.BlockSpec(
+            (TILE_H, 3 * TILE_W),
+            lambda t, o, f: (o[t * stride + 2], o[t * stride + 3]),
+            memory_space=pltpu.VMEM) if interleave else pl.BlockSpec(
             (nch, TILE_H, TILE_W),
             lambda t, o, f: (0, o[t * stride + 2],
                              o[t * stride + 3]),
-            memory_space=pltpu.VMEM),
+            memory_space=pltpu.VMEM)),
         scratch_shapes=scratch,
     )
     kern = functools.partial(_inline_kernel_into, degree=degree,
                              wc=wc, nch=nch, nt=nt, dbuf=dbuf,
                              unroll=unroll, stride=stride,
-                             tmode=tmode, consts=consts, smode=smode)
+                             tmode=tmode, consts=consts, smode=smode,
+                             interleave=interleave)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
@@ -1422,7 +1560,7 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
                                n_taps: int, nt: int, dbuf: bool,
                                stride: int, tmode: str,
                                consts: tuple, smode: str = "sph",
-                               grid=None):
+                               grid=None, interleave: bool = False):
     """Twined variant of _inline_kernel_into: the center and the two
     DERIV_BIAS-biased coordinate grids are computed in-kernel from the
     doubled axis-feature sets (xi/yi = 1), differenced into the
@@ -1484,8 +1622,7 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
                     sx, sy, dux, duy, dvx, dvy, spread_ref, n_taps,
                     win, degree=degree, wc=wc, nch=nch, rb0=rb0,
                     cb0=cb0, grid=grid)
-            for ch in range(nch):
-                out_ref[ch, sl8, :] = acc[ch]
+            _emit_rows(out_ref, r, acc, interleave=interleave)
             return _
 
         def tap_body(ti, acc):
@@ -1507,8 +1644,7 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
         acc0 = tuple(jnp.zeros((8, TILE_W), jnp.float32)
                      for _c in range(nch))
         acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
-        for ch in range(nch):
-            out_ref[ch, sl8, :] = acc[ch]
+        _emit_rows(out_ref, r, acc, interleave=interleave)
         return _
 
     jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
@@ -1517,7 +1653,8 @@ def _inline_twined_kernel_into(tiles_ref, faces_ref, spread_ref,
 @functools.partial(jax.jit, static_argnames=("degree", "wc",
                                              "interpret", "n_taps",
                                              "tmode", "consts",
-                                             "smode", "grid"))
+                                             "smode", "grid",
+                                             "interleave"))
 def resample_inline_twined_into(canvas: jnp.ndarray,
                                 coeff: jnp.ndarray,
                                 tiles: jnp.ndarray,
@@ -1529,7 +1666,9 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
                                 consts: tuple, smode: str = "sph",
                                 wc: WindowClass = LOCAL,
                                 interpret: bool = False,
-                                grid=None) -> jnp.ndarray:
+                                grid=None,
+                                interleave: bool = False
+                                ) -> jnp.ndarray:
     """resample_twined_into with the coordinate chain (center + both
     derivative grids) fused into the kernel. ``xfeat``/``yfeat`` carry
     DOUBLED feature sets - [center features..., DERIV_BIAS-biased
@@ -1572,22 +1711,30 @@ def resample_inline_twined_into(canvas: jnp.ndarray,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if interleave:
+        assert nch == 3 and canvas.ndim == 2, \
+            "interleave: 3-channel (ph, 3*pw) canvas"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
+        out_specs=(pl.BlockSpec(
+            (TILE_H, 3 * TILE_W),
+            lambda t, o, f, s: (o[t * stride + 2],
+                                o[t * stride + 3]),
+            memory_space=pltpu.VMEM) if interleave else pl.BlockSpec(
             (nch, TILE_H, TILE_W),
             lambda t, o, f, s: (0, o[t * stride + 2],
                                 o[t * stride + 3]),
-            memory_space=pltpu.VMEM),
+            memory_space=pltpu.VMEM)),
         scratch_shapes=scratch,
     )
     kern = functools.partial(_inline_twined_kernel_into,
                              degree=degree, wc=wc, nch=nch,
                              n_taps=n_taps, nt=nt, dbuf=dbuf,
                              stride=stride, tmode=tmode,
-                             consts=consts, smode=smode, grid=grid)
+                             consts=consts, smode=smode, grid=grid,
+                             interleave=interleave)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),
@@ -1612,7 +1759,8 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
                         degree: int, wc: WindowClass, nch: int,
                         n_taps: int, nt: int, dbuf: bool,
                         stride: int, merge: bool = False,
-                        grid=None, tapsel: bool = False):
+                        grid=None, tapsel: bool = False,
+                        interleave: bool = False):
     # merge: see _resample_kernel_into - mask + canvas-in blocks for
     # per-pixel overlay of face-boundary tiles
     # grid: static (kx, ky) when the spread is a separable tensor
@@ -1758,20 +1906,20 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
         if merge:
             # skip the K-tap gather work for row-blocks this pass does
             # not dominate at all (see _resample_kernel_into)
-            m = mask_ref[sl] > 0.5
+            mf = mask_ref[sl]
+            any_m = jnp.any(mf > 0.5)
 
-            @pl.when(jnp.any(m))
+            @pl.when(any_m)
             def _dominated():
                 acc = eval_taps(r, sl)
-                for ch in range(nch):
-                    out_ref[ch, pl.ds(r * 8, 8), :] = jnp.where(
-                        m, acc[ch], cin_ref[ch, pl.ds(r * 8, 8), :])
+                _emit_rows(out_ref, r, acc, interleave=interleave,
+                           mask_f32=mf, cin_ref=cin_ref)
 
-            @pl.when(jnp.logical_not(jnp.any(m)))
+            @pl.when(jnp.logical_not(any_m))
             def _pass_through():
-                for ch in range(nch):
-                    out_ref[ch, pl.ds(r * 8, 8), :] = \
-                        cin_ref[ch, pl.ds(r * 8, 8), :]
+                _emit_rows_passthrough(out_ref, r, cin_ref,
+                                       interleave=interleave,
+                                       nch=nch)
         elif tapsel:
             # skip the whole gather chain for row-blocks no tap
             # champions for this facet (band tiles are typically
@@ -1781,31 +1929,30 @@ def _twined_kernel_into(tiles_ref, spread_ref,  # scalar prefetch
             @pl.when(m)
             def _championed():
                 acc = eval_taps(r, sl)
-                for ch in range(nch):
-                    out_ref[ch, pl.ds(r * 8, 8), :] = acc[ch]
+                _emit_rows(out_ref, r, acc, interleave=interleave)
 
             @pl.when(jnp.logical_not(m))
             def _unchampioned():
-                for ch in range(nch):
-                    out_ref[ch, pl.ds(r * 8, 8), :] = jnp.zeros(
-                        (8, TILE_W), jnp.float32)
+                _emit_rows_zero(out_ref, r, interleave=interleave,
+                                nch=nch)
         else:
             acc = eval_taps(r, sl)
-            for ch in range(nch):
-                out_ref[ch, pl.ds(r * 8, 8), :] = acc[ch]
+            _emit_rows(out_ref, r, acc, interleave=interleave)
         return _
 
     jax.lax.fori_loop(0, TILE_H // 8, row_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("degree", "n_taps", "wc",
-                                             "interpret", "grid"))
+                                             "interpret", "grid",
+                                             "interleave"))
 def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
                          tiles, spread, *, degree: int, n_taps: int,
                          wc: WindowClass = LOCAL,
                          interpret: bool = False,
                          merge_mask: jnp.ndarray = None,
-                         grid=None, champ=None) -> jnp.ndarray:
+                         grid=None, champ=None,
+                         interleave: bool = False) -> jnp.ndarray:
     """Compact-grid twined resampling into a donated canvas (see
     resample_planar_into for the tile-row layout and merge_mask).
     ``grid`` (static (kx, ky), requires wc.sep) switches to the
@@ -1846,6 +1993,16 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
     merge = merge_mask is not None
     tapsel = champ is not None
     assert not (tapsel and (merge or grid is not None))
+    if interleave:
+        assert nch == 3 and canvas.ndim == 2, \
+            "interleave: 3-channel (ph, 3*pw) canvas"
+    canvas_block = (pl.BlockSpec(
+        (TILE_H, 3 * TILE_W),
+        lambda t, o, s: (o[t * stride + 2], o[t * stride + 3]),
+        memory_space=pltpu.VMEM) if interleave else pl.BlockSpec(
+        (nch, TILE_H, TILE_W),
+        lambda t, o, s: (0, o[t * stride + 2], o[t * stride + 3]),
+        memory_space=pltpu.VMEM))
     if tapsel:
         in_specs = ([in_block] * 6
                     + [pl.BlockSpec(
@@ -1861,11 +2018,7 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
     elif merge:
         in_specs = ([in_block] * 7
                     + [pl.BlockSpec(memory_space=pl.ANY),
-                       pl.BlockSpec(
-                           (nch, TILE_H, TILE_W),
-                           lambda t, o, s: (0, o[t * stride + 2],
-                                            o[t * stride + 3]),
-                           memory_space=pltpu.VMEM)])
+                       canvas_block])
         operands = (tiles.reshape(-1), spread, sx, sy, dux, duy, dvx,
                     dvy, merge_mask, coeff, canvas)
         alias = {10: 0}
@@ -1880,17 +2033,14 @@ def resample_twined_into(canvas, coeff, sx, sy, dux, duy, dvx, dvy,
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (nch, TILE_H, TILE_W),
-            lambda t, o, s: (0, o[t * stride + 2],
-                             o[t * stride + 3]),
-            memory_space=pltpu.VMEM),
+        out_specs=canvas_block,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_twined_kernel_into, degree=degree,
                              wc=wc, nch=nch, n_taps=n_taps, nt=nt,
                              dbuf=dbuf, stride=stride, merge=merge,
-                             grid=grid, tapsel=tapsel)
+                             grid=grid, tapsel=tapsel,
+                             interleave=interleave)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, jnp.float32),

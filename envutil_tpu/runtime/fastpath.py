@@ -109,6 +109,14 @@ def eligible(plan, sources, allow_spread: bool = False) -> bool:
     src = sources[0]
     if plan.spread is not None and not allow_spread:
         return False
+    if plan.spread is not None and getattr(plan, "twine_precise",
+                                           False):
+        # --twine_precise projects the derivative rays onto the
+        # pickup's tangent plane IN RAY SPACE (twining.h:152-263);
+        # the fused kernels linearize taps in source-coordinate
+        # space and never materialize the derivative rays, so the
+        # exact semantics run on the XLA graph path
+        return False
     if src.static.kind == "paint" or src.static.masked != -1:
         return False
     if src.spl is None or src.spl.degree > 7:
@@ -1537,6 +1545,17 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
         assert not any(p[4] for p in passes), \
             "finish='reuse' requires full-tile passes (no merges)"
 
+    # in-kernel interleaved finish: 3-channel frames write the canvas
+    # as (ph, 3*pw) pixel-interleaved rows (PR._emit_rows), making the
+    # final reshape to (H, W, 3) a layout no-op - the XLA
+    # planar->interleaved relayout the materialized-finish contract
+    # pays (0.04-0.9 ms/frame) disappears. pertap/tapsel frames are
+    # summed/combined planar by their drivers, and 'planar' finish is
+    # the multi-facet synopsis contract, so those stay planar.
+    ilv = (nch_in == 3 and nch_out == 3 and not pertap and not tapsel
+           and finish != "planar"
+           and os.environ.get("ENVUTIL_NO_INTERLEAVE") != "1")
+
     def run_passes(st, canvas, eps):
         mask0 = None
         for pi, (name, wc, box, degree, _shape, _nt, merge,
@@ -1558,7 +1577,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                         canvas, st["coeffs"][name], st["tiles"][pi],
                         fcs, xfeat, yfeat, bm, eps, degree=degree,
                         tmode=tmode, consts=consts, smode=smode,
-                        wc=wc, unroll=_want_unroll(wc))
+                        wc=wc, unroll=_want_unroll(wc),
+                        interleave=ilv)
                 else:
                     sp = st["spread_sep"] if wc.sep else st["spread"]
                     canvas = PR.resample_inline_twined_into(
@@ -1566,7 +1586,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                         fcs, xfeat, yfeat, bm, sp, eps,
                         degree=degree, n_taps=n_taps, tmode=tmode,
                         consts=consts, smode=smode, wc=wc,
-                        grid=sgrid_k if wc.sep else None)
+                        grid=sgrid_k if wc.sep else None,
+                        interleave=ilv)
                 continue
             bwin = _box_window(window, box)
             c0 = _coords(geom, bwin, name, st["src"], fi, (0.0, 0.0),
@@ -1593,7 +1614,7 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                     canvas, st["coeffs"][name], sx + eps, sy,
                     st["tiles"][pi], degree=degree, wc=wc,
                     unroll=_want_unroll(wc),
-                    merge_mask=mm)
+                    merge_mask=mm, interleave=ilv)
             else:
                 fmk = m if merge else None
                 c10 = _coords(geom, bwin, name, st["src"], fi,
@@ -1611,7 +1632,8 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
                     sp, degree=degree, n_taps=n_taps,
                     wc=wc, merge_mask=None if tapsel else mm,
                     grid=sgrid_k if wc.sep else None,
-                    champ=st["champ"] if tapsel else None)
+                    champ=st["champ"] if tapsel else None,
+                    interleave=ilv)
         return canvas, mask0
 
     def masked(st, canvas, mask0):
@@ -1636,6 +1658,23 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
             img = E.apply_brighten(img, brighten)
         return img
 
+    def finish_ilv(st, canvas, mask0):
+        # the canvas bytes ARE the row-major (H, W, 3) image - the
+        # reshape is layout-free, no relayout op exists
+        img = canvas.reshape(ph, pw, 3)
+        if not (pertap or tapsel or full_cover):
+            if mask0 is None:
+                _sx, _sy, mask0, _z2 = _coords(geom, window, "orig",
+                                               st["src"], fi,
+                                               (0.0, 0.0),
+                                               st["basis"])
+            img = jnp.where(mask0[..., None], img, 0.0)
+        if brighten != 1.0:
+            img = E.apply_brighten(img, brighten)
+        return img
+
+    canvas_shape = (ph, 3 * pw) if ilv else (nch_in, ph, pw)
+
     if finish == "planar":
         def frame(st, eps):
             canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
@@ -1647,15 +1686,19 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
     elif finish == "reuse":
         def frame(st, canvas, eps):
             canvas, mask0 = run_passes(st, canvas, eps)
+            if ilv:
+                return finish_ilv(st, canvas, mask0), canvas
             return finish_img(masked(st, canvas, mask0)), canvas
     else:
         def frame(st, eps):
-            canvas = jnp.zeros((nch_in, ph, pw), jnp.float32)
+            canvas = jnp.zeros(canvas_shape, jnp.float32)
             canvas, mask0 = run_passes(st, canvas, eps)
+            if ilv:
+                return finish_ilv(st, canvas, mask0)
             return finish_img(masked(st, canvas, mask0))
 
-    key = key + (finish,)
-    return frame, state, assigned, passes, key
+    key = key + (finish, ilv)
+    return frame, state, assigned, passes, key, canvas_shape
 
 
 def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
@@ -1663,10 +1706,11 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
                 spread=None, pertap: bool = False, exclude=None,
                 finish: str = "image", preplanned=None,
                 tapsel: bool = False):
-    frame, state, assigned, passes, key = _frame_builder(
-        plan, src, window, classes, fi, nch_out, brighten, spread,
-        pertap, exclude=exclude, finish=finish, preplanned=preplanned,
-        tapsel=tapsel)
+    frame, state, assigned, passes, key, canvas_shape = \
+        _frame_builder(
+            plan, src, window, classes, fi, nch_out, brighten, spread,
+            pertap, exclude=exclude, finish=finish,
+            preplanned=preplanned, tapsel=tapsel)
     fn = _FRAME_CACHE.get(key)
     if fn is None:
         if finish == "reuse":
@@ -1676,6 +1720,9 @@ def fused_frame(plan, src, window, classes=DEFAULT_CLASSES,
         else:
             fn = jax.jit(frame)
         _FRAME_CACHE[key] = fn
+    # finish='reuse' callers allocate the carried canvas themselves;
+    # its shape depends on the in-kernel interleave admission
+    fn.canvas_shape = canvas_shape
     return fn, state, assigned, passes
 
 
@@ -1711,7 +1758,7 @@ def fused_multi_frame(plan, sources, window, classes=DEFAULT_CLASSES,
     for fi, src in enumerate(sources):
         pp = preplanned_list[fi] if preplanned_list is not None \
             else None
-        frame, st, assigned, passes, key = _frame_builder(
+        frame, st, assigned, passes, key, _cs = _frame_builder(
             plan, src, window, classes, fi=fi, preplanned=pp)
         frames.append(frame)
         states.append(st)
@@ -1949,7 +1996,12 @@ def _render_fast_solo_twined_partial(plan, src, window, out_h, out_w,
     # tap-major (the reference's solo synopsis under twining,
     # envutil_payload.cc:611-691)
     band_frame = band_state = None
-    if band_t.any() and os.environ.get("ENVUTIL_NO_TAPSEL") != "1":
+    # the band frame is summed with the finished core frame; finish
+    # (repix/deassoc) must be linear for that, so only decompose when
+    # no channel conversion happens (else repix's appended alpha=1
+    # plane would sum to 2, and 2->1 deassoc is non-linear)
+    if band_t.any() and plan.nchannels == src.spl.coeff.shape[-1] \
+            and os.environ.get("ENVUTIL_NO_TAPSEL") != "1":
         passes_b, assigned_b = plan_passes(
             plan, src, window, classes, 0, spread, exclude=~band_t,
             want_union=True, no_sep=True)
@@ -2403,7 +2455,10 @@ def _mesh_solo_twined_partial(plan, src, window, mesh_n, devices,
     # band-sliced like the core plan - same treatment per tile as the
     # single-device path (_render_fast_solo_twined_partial)
     band_plans = None
-    if band_t.any() and os.environ.get("ENVUTIL_NO_TAPSEL") != "1":
+    # same linear-finish gate as _render_fast_solo_twined_partial:
+    # band frames are summed post-finish, so no channel conversion
+    if band_t.any() and plan.nchannels == src.spl.coeff.shape[-1] \
+            and os.environ.get("ENVUTIL_NO_TAPSEL") != "1":
         passes_bt, assigned_bt = plan_passes(
             plan, src, window, classes, 0, spread, exclude=~band_t,
             want_union=True, no_sep=True)
@@ -2522,6 +2577,10 @@ def _mesh_multi_pertap(plan, sources, window, mesh_n, devices,
 def _eligible_multi(plan, sources) -> bool:
     if jax.default_backend() == "cpu" and not PR.FORCE_INTERPRET:
         return False
+    if plan.spread is not None and getattr(plan, "twine_precise",
+                                           False):
+        return False  # ray-space tangential basis: XLA path (see
+        #               eligible())
     for src in sources:
         if src.static.kind == "paint" or src.static.masked != -1:
             return False
@@ -2713,10 +2772,16 @@ def _pertap_host_plan(plan, sources, window, classes,
         if verbose:
             print(f"fastpath(multi/pertap): facet {fi}: {n_fast}/"
                   f"{assigned_f.size} tiles fused, {n_zero} empty")
-        if not tapsel_ok and n_fast == 0 and unf > 0 \
+        has_tapsel = any(tfi == fi for (tfi, _p, _a) in tapsel)
+        if n_fast == 0 and unf > 0 \
                 and n_zero < assigned_f.size \
-                and not (stable_of == fi).any():
-            return None  # one facet entirely unfusable: use XLA path
+                and not (stable_of == fi).any() \
+                and not has_tapsel:
+            # one facet entirely unfusable (champion routing serves
+            # none of its tiles either): decline to the XLA graph
+            # path rather than run its band through the ~100x-slower
+            # in-jit scan patcher
+            return None
         if verbose and unf:
             print(f"fastpath(multi/pertap): facet {fi}: "
                   f"{unf} tiles via XLA fallback")
@@ -2815,7 +2880,7 @@ def _pertap_build(plan, sources, window, classes, S,
     stable_states = []
     for (fi, passes_f, assigned_f) in S["stable"]:
         src = sources[fi]
-        frame, st, assigned, passes, key = _frame_builder(
+        frame, st, assigned, passes, key, _cs = _frame_builder(
             plan, src, window, classes, fi=fi, spread=spread,
             preplanned=(passes_f, assigned_f))
         badf = tuple(map(tuple, np.argwhere(
@@ -2832,7 +2897,7 @@ def _pertap_build(plan, sources, window, classes, S,
     tapsel_states = []
     for (fi, passes_f, assigned_f) in S["tapsel"]:
         src = sources[fi]
-        frame, st, assigned, passes, key = _frame_builder(
+        frame, st, assigned, passes, key, _cs = _frame_builder(
             plan, src, window, classes, fi=fi, spread=spread,
             tapsel=True, preplanned=(passes_f, assigned_f))
         tapsel_frames.append((fi, frame, key))
@@ -2844,7 +2909,7 @@ def _pertap_build(plan, sources, window, classes, S,
     part = []  # facet indices participating in the tap loop
     for fi, src in enumerate(sources):
         passes_f, assigned_f = S["pertap"][fi]
-        frame_fn, state, assigned, passes, key = _frame_builder(
+        frame_fn, state, assigned, passes, key, _cs = _frame_builder(
             plan, src, window, classes, fi=fi, spread=spread,
             pertap=True, preplanned=(passes_f, assigned_f))
         n_fast = int((assigned_f >= 0).sum())

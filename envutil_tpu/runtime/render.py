@@ -145,6 +145,12 @@ class RenderPlan:
     nchannels: int
     synopsis: str
     spread: Optional[tuple]       # None = no twining
+    # tangent-plane projection of the twining derivative rays
+    # (--twine_precise; twining.h:74,152-263): instead of plain
+    # differencing, the neighbour rays are orthogonally projected
+    # onto the pickup ray's tangent plane before the spread deflects
+    # along them
+    twine_precise: bool = False
     solo: int = -1
     # one entry per participating facet:
     facet_indices: Tuple[int, ...] = ()
@@ -198,7 +204,10 @@ def build_plan(args, facets: Sequence[Facet]) -> RenderPlan:
     return RenderPlan(
         projection=args.projection, width=args.width, height=args.height,
         extent=args.extent, nchannels=int(args.nchannels),
-        synopsis=args.synopsis, spread=spread, solo=args.solo,
+        synopsis=args.synopsis, spread=spread,
+        twine_precise=bool(getattr(args, "twine_precise", False)
+                           and spread is not None),
+        solo=args.solo,
         facet_indices=tuple(indices), bases=tuple(bases),
         planar_to_ray=tuple(p2r), crop=crop)
 
@@ -226,9 +235,11 @@ def _render_window(plan: RenderPlan, sources: List[E.FacetSource],
         def solo_syn(srcs, rays_, n):
             px, mask = E.lookup(srcs[0], rays_[0], n)
             return jnp.where(mask[..., None], px, 0.0)
-        return SYN.twined(solo_syn, sources, packs, nch, plan.spread)
+        return SYN.twined(solo_syn, sources, packs, nch, plan.spread,
+                          precise=plan.twine_precise)
     syn = SYN.pick_synopsis(plan.synopsis, nch)
-    return SYN.twined(syn, sources, packs, nch, plan.spread)
+    return SYN.twined(syn, sources, packs, nch, plan.spread,
+                      precise=plan.twine_precise)
 
 
 @functools.lru_cache(maxsize=64)

@@ -823,7 +823,8 @@ def auto_twine(mag, spline_degree, nfacets, twine_max=8):
 
 # ------------------------------------------------------------- renderer
 
-def render(target, facets, synopsis="panorama", spread=None):
+def render(target, facets, synopsis="panorama", spread=None,
+           twine_precise=False):
     """Full oracle pipeline. ``target`` is a dict with projection,
     width, height, hfov, yaw, pitch, roll; ``facets`` a list of
     MountFacet/CubemapFacet; ``spread`` a list of (x, y, w) twining
@@ -869,8 +870,19 @@ def render(target, facets, synopsis="panorama", spread=None):
     for cx, cy, cw in spread:
         deflected = []
         for c, p10, p01 in zip(center, r10, r01):
-            dx = p10 - c
-            dy = p01 - c
+            if twine_precise:
+                # deriv_tangential (twining.h:152-263): closest point
+                # to the pickup on the line through the neighbour with
+                # direction 'pickup', minus the pickup - Imath
+                # Line3::closestPointTo with the UNNORMALIZED pickup
+                # ray as dir, exactly as the reference assigns it
+                t10 = ((c - p10) * c).sum(-1, keepdims=True)
+                t01 = ((c - p01) * c).sum(-1, keepdims=True)
+                dx = p10 + t10 * c - c
+                dy = p01 + t01 * c - c
+            else:
+                dx = p10 - c
+                dy = p01 - c
             deflected.append(c + (cx * 4.0) * dx + (cy * 4.0) * dy)
         part = synth(deflected)
         out = cw * part if out is None else out + cw * part

@@ -190,6 +190,36 @@ def test_golden_twining(env, env_facet):
     assert p > GOLDEN_DB, f"twined downscale: {p:.1f} dB"
 
 
+def test_golden_twine_precise(env, env_facet):
+    """--twine_precise: tangent-plane derivative basis
+    (twining.h:152-263, selected at environment.h:1997). The flag
+    must (a) agree with the oracle's independent float64
+    deriv_tangential implementation and (b) actually change the
+    output vs plain differencing."""
+    spread = O.make_spread(3, 3, 1.0)
+    src = E.make_mount_source(env_facet, env, 1, 1)
+    args = make_args(Projection.RECTILINEAR, 48, 32, 70.0, [env_facet],
+                     degree=1, yaw=40.0, pitch=25.0,
+                     twine_spread=spread)
+    args.twine_precise = True
+    out = fw_render(args, [src])
+    ofct = O.MountFacet(O.SPHERICAL, 256, 128, 2 * math.pi, env,
+                        degree=1)
+    t = dict(projection=O.RECTILINEAR, width=48, height=32,
+             hfov=70 * math.pi / 180, yaw=40 * math.pi / 180,
+             pitch=25 * math.pi / 180)
+    p = O.psnr(out, O.render(t, [ofct], spread=spread,
+                             twine_precise=True))
+    assert p > GOLDEN_DB, f"twine_precise: {p:.1f} dB"
+    # the flag is not inert: plain differencing measurably differs
+    args.twine_precise = False
+    out_plain = fw_render(args, [src])
+    assert not np.array_equal(out, out_plain)
+    # ... but only slightly (the reference documents the difference
+    # as negligible for sane spreads - sanity-bound it)
+    assert O.psnr(out, out_plain) > 30.0
+
+
 # ---------------------------------------------------------- config 5
 
 def test_golden_voronoi_with_lens(env, env_facet, env_src3):

@@ -101,7 +101,7 @@ def main():
     if not any(ps[4] for ps in passes):
         f_ru, st_ru, _a, _p = fastpath.fused_frame(plan, src, win,
                                                    finish="reuse")
-        canvas = jnp.zeros((base.shape[-1], 256, 256), jnp.float32)
+        canvas = jnp.zeros(f_ru.canvas_shape, jnp.float32)
         _img1, canvas = f_ru(st_ru, canvas, jnp.float32(0))
         img2, canvas = f_ru(st_ru, canvas, jnp.float32(0))
         same_ru = np.array_equal(np.asarray(img2), base)

@@ -110,7 +110,7 @@ def main():
     # passes in the headline -> every assigned tile fully rewritten)
     ru_fn, ru_state, _a3, _p3 = FP.fused_frame(
         plan, src, window, finish="reuse")
-    canvas0 = jnp.zeros((3, plan.height, plan.width), jnp.float32)
+    canvas0 = jnp.zeros(ru_fn.canvas_shape, jnp.float32)
 
     @jax.jit
     def loop_reuse(st, cv):
