@@ -973,23 +973,25 @@ def _load_tile_window(tiles_ref, coeff_ref, scratch, *, t, stride,
     return win
 
 
-# interleave emit strategy (A/B knob; 'gather' = static lane
-# shuffles on the VPU, 'mxu' = permutation matmul on the idle MXU,
-# 'repeat' = pltpu.repeat lane stretch + selects)
-_ILV_MODE = os.environ.get("ENVUTIL_ILV_MODE", "gather")
-
-_ILV_PERM = None
-
-
-def _ilv_perm_matrix():
-    global _ILV_PERM
-    if _ILV_PERM is None:
-        n = 3 * TILE_W
-        p = np.zeros((n, n), np.float32)
-        cols = np.arange(n)
-        p[TILE_W * (cols % 3) + cols // 3, cols] = 1.0
-        _ILV_PERM = p
-    return jnp.asarray(_ILV_PERM)
+# In-kernel interleaved emit: measured a net LOSS on chip for the
+# fused resample kernels, so it is opt-in (ENVUTIL_INTERLEAVE=1).
+# The lane stretch out[l] = vals[l % 3][l // 3] needs a lane
+# permutation engine; Mosaic's only correct one here is
+# dynamic_gather (take_along_axis), and the kernels are already
+# gather-ISSUE-bound (>= 93% of frame time), so the 9 extra gathers
+# + 6 selects per row block cost +0.76..+1.4 us/tile (probe_ilv,
+# v5e) = +1.2..+2.1 ms on the 8K headline - MORE than the 0.95 ms
+# XLA planar->interleaved relayout they replace (headline measured
+# 2180 Mpix/s in-kernel vs 2985 planar+relayout). Alternatives
+# tried and rejected on-chip: pltpu.repeat is a tile-concat (wrong
+# values for a stretch - verified, NOT an element repeat), strided
+# lane stores / jnp.repeat / broadcast+reshape fail to lower, an
+# MXU permutation matmul needs f32 matmul (4-8x the bf16 rate,
+# ~2 ms/frame), and a dedicated relayout kernel is bound by the
+# same gather issue rate (~1 ms/frame). The stretch fundamentally
+# fans one source lane into 3 output lanes, which no rotate/select
+# network does in O(1).
+_ILV_ON = os.environ.get("ENVUTIL_INTERLEAVE") == "1"
 
 
 def _emit_rows(out_ref, r, vals, *, interleave: bool,
@@ -1012,7 +1014,10 @@ def _emit_rows(out_ref, r, vals, *, interleave: bool,
     (``(j*128+l)//3`` - one (8,128) lane shuffle per (channel,
     out-vreg) pair, 9 per row block) and channel-selects on the
     static period-3 lane pattern; the merge mask rides through the
-    same shuffle."""
+    same shuffle. See the _ILV_ON comment for why this emit is
+    opt-in: the extra gathers contend with the kernels' own
+    gather-bound inner loop and cost more than the XLA relayout
+    they remove."""
     sl8 = pl.ds(r * 8, 8)
     nch = len(vals)
     if not interleave:
@@ -1025,30 +1030,6 @@ def _emit_rows(out_ref, r, vals, *, interleave: bool,
                 out_ref[ch, sl8, :] = vals[ch]
         return
     assert nch == 3, "interleaved emit is 3-channel only"
-    if mask_f32 is None and _ILV_MODE == "mxu":
-        # permutation as an f32 matmul on the (otherwise idle) MXU:
-        # out[s, p] = cat[s, 128*(p%3) + p//3] with cat the lane
-        # concat of the three accumulators. P is 0/1 with exactly one
-        # 1 per output column, so the f32 contraction is exact (one
-        # nonzero term). The gather-bound VPU never sees the
-        # permutation; Mosaic overlaps the MXU passes with the next
-        # row-block's gathers.
-        cat = jnp.concatenate(list(vals), axis=1)       # (8, 384)
-        out_ref[sl8, :] = jax.lax.dot_general(
-            cat, _ilv_perm_matrix(),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return
-    if mask_f32 is None and _ILV_MODE == "repeat":
-        # lane-stretch each accumulator by 3 and channel-select on
-        # the static period-3 pattern: 3 repeats + 2 selects per
-        # row block
-        cha = jax.lax.broadcasted_iota(jnp.int32, (8, 3 * TILE_W),
-                                       1) % 3
-        reps = [pltpu.repeat(v, 3, axis=1) for v in vals]
-        out_ref[sl8, :] = jnp.where(
-            cha == 0, reps[0], jnp.where(cha == 1, reps[1], reps[2]))
-        return
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1)
     for j in range(3):
         pos = j * TILE_W + lane

@@ -1545,16 +1545,20 @@ def _frame_builder(plan, src, window, classes=DEFAULT_CLASSES,
         assert not any(p[4] for p in passes), \
             "finish='reuse' requires full-tile passes (no merges)"
 
-    # in-kernel interleaved finish: 3-channel frames write the canvas
-    # as (ph, 3*pw) pixel-interleaved rows (PR._emit_rows), making the
-    # final reshape to (H, W, 3) a layout no-op - the XLA
-    # planar->interleaved relayout the materialized-finish contract
-    # pays (0.04-0.9 ms/frame) disappears. pertap/tapsel frames are
-    # summed/combined planar by their drivers, and 'planar' finish is
-    # the multi-facet synopsis contract, so those stay planar.
+    # in-kernel interleaved finish (opt-in, ENVUTIL_INTERLEAVE=1):
+    # 3-channel frames write the canvas as (ph, 3*pw)
+    # pixel-interleaved rows (PR._emit_rows), making the final
+    # reshape to (H, W, 3) a layout no-op - the XLA
+    # planar->interleaved relayout disappears. Measured on chip this
+    # is a net LOSS (the emit's 9 extra gathers per row block
+    # contend with the gather-bound inner loop and cost more than
+    # the relayout they remove - see PR._ILV_ON), so the default
+    # finish stays planar + relayout. pertap/tapsel frames are
+    # summed/combined planar by their drivers, and 'planar' finish
+    # is the multi-facet synopsis contract, so those never
+    # interleave.
     ilv = (nch_in == 3 and nch_out == 3 and not pertap and not tapsel
-           and finish != "planar"
-           and os.environ.get("ENVUTIL_NO_INTERLEAVE") != "1")
+           and finish != "planar" and PR._ILV_ON)
 
     def run_passes(st, canvas, eps):
         mask0 = None

@@ -194,6 +194,59 @@ def test_resample_into_extended_rows(degree):
 
 
 @pytest.mark.parametrize("degree", [1, 3])
+def test_resample_into_interleaved(degree):
+    """In-kernel interleaved emit: the (H, 3W) canvas holds exactly
+    the row-major bytes of the planar result moved channel-minor -
+    out[y, 3x + c] == planar[c, y, x], bit-for-bit. Pins the lane
+    stretch semantics (a tile-concat 'repeat' emit once shipped
+    producing wrong bytes; this test is what catches that class of
+    bug)."""
+    spl, coeffp, px, py, ref = _setup(degree)
+    stats = [np.asarray(s) for s in PR.tile_stats(px, py)]
+    nty, ntx = px.shape[0] // PR.TILE_H, px.shape[1] // PR.TILE_W
+    tiles = _compact_tiles(stats, nty, ntx, degree, PR.LOCAL,
+                           coeffp.shape[1], coeffp.shape[2])
+    planar = PR.resample_planar_into(
+        jnp.zeros((3,) + px.shape, jnp.float32), coeffp, px, py,
+        jnp.asarray(tiles), degree=degree, wc=PR.LOCAL,
+        interpret=True)
+    ilv = PR.resample_planar_into(
+        jnp.zeros((px.shape[0], 3 * px.shape[1]), jnp.float32),
+        coeffp, px, py, jnp.asarray(tiles), degree=degree,
+        wc=PR.LOCAL, interpret=True, interleave=True)
+    want = np.moveaxis(np.asarray(planar), 0, -1).reshape(
+        px.shape[0], 3 * px.shape[1])
+    np.testing.assert_array_equal(np.asarray(ilv), want)
+
+
+def test_resample_into_interleaved_merge_mask():
+    """Masked-merge interleaved emit: mask<=0.5 pixels keep the prior
+    canvas contents at their interleaved positions."""
+    degree = 3
+    spl, coeffp, px, py, ref = _setup(degree)
+    stats = [np.asarray(s) for s in PR.tile_stats(px, py)]
+    nty, ntx = px.shape[0] // PR.TILE_H, px.shape[1] // PR.TILE_W
+    tiles = _compact_tiles(stats, nty, ntx, degree, PR.LOCAL,
+                           coeffp.shape[1], coeffp.shape[2])
+    mrng = np.random.default_rng(17)
+    mask = (mrng.uniform(size=px.shape) < 0.6).astype(np.float32)
+    prior_pl = jnp.asarray(
+        RNG.uniform(2, 3, (3,) + px.shape), jnp.float32)
+    prior_il = jnp.asarray(np.moveaxis(
+        np.asarray(prior_pl), 0, -1).reshape(px.shape[0], -1))
+    planar = PR.resample_planar_into(
+        prior_pl, coeffp, px, py, jnp.asarray(tiles), degree=degree,
+        wc=PR.LOCAL, interpret=True, merge_mask=jnp.asarray(mask))
+    ilv = PR.resample_planar_into(
+        prior_il, coeffp, px, py, jnp.asarray(tiles), degree=degree,
+        wc=PR.LOCAL, interpret=True, merge_mask=jnp.asarray(mask),
+        interleave=True)
+    want = np.moveaxis(np.asarray(planar), 0, -1).reshape(
+        px.shape[0], -1)
+    np.testing.assert_array_equal(np.asarray(ilv), want)
+
+
+@pytest.mark.parametrize("degree", [1, 3])
 def test_resample_into_merge_mask(degree):
     """merge_mask overlay: the kernel writes only mask>0.5 pixels and
     keeps the canvas's prior contents elsewhere (the cubemap

@@ -2,7 +2,7 @@
 
 Builds the headline config (8K equirect -> 6x2048 cubemap, degree 3),
 renders one fused frame with the interleaved emit ON (default
-admission) and OFF (ENVUTIL_NO_INTERLEAVE=1), asserts bit-equality,
+admission forced via PR._ILV_ON) and OFF, asserts bit-equality,
 then times both under the materialized-finish steady-state loop
 (the bench.py contract).
 
@@ -120,14 +120,14 @@ def main():
     classes = FP.select_classes(plan, src, window)
     n_px = plan.width * plan.height
 
-    os.environ["ENVUTIL_NO_INTERLEAVE"] = "1"
+    FP.PR._ILV_ON = False
     fn_pl, st_pl, _a1, _p1 = FP.fused_frame(plan, src, window,
                                             classes)
     img_pl = np.asarray(jax.block_until_ready(
         fn_pl(st_pl, jnp.float32(0))))
     dt_pl = time_reuse(plan, src, window, classes, runs)
 
-    del os.environ["ENVUTIL_NO_INTERLEAVE"]
+    FP.PR._ILV_ON = True
     fn_il, st_il, _a2, _p2 = FP.fused_frame(plan, src, window,
                                             classes)
     img_il = np.asarray(jax.block_until_ready(
