@@ -152,11 +152,15 @@ COARSE_CLASSES = (PR.SHEAR6, PR.SHEAR_LOCAL, PR.LOCAL,
 
 # cost-model constants (one v5e chip): the VPU resolves one (8, 128)
 # dynamic_gather per cycle at ~940 MHz; HBM streams ~850 bytes per
-# core-cycle; a pallas_call launch inside one jit costs ~0.13 ms
-# (measured 2026-08-19 after the table-pad hoist: the 4-vs-8-pass
-# headline A/B ran 8.44 vs 8.97 ms - the tighter classes' modelled
-# per-tile savings did not materialize, so the launch constant carries
-# the whole measured difference).
+# core-cycle. _LAUNCH_CYCLES is NOT a physical launch cost:
+# tools/probe_launch.py (2026-08-21) measured chained pallas_calls at
+# zero marginal cost (1 vs 8 passes identical, same-class AND
+# distinct kernels, small and large canvases). It survives as a
+# fragmentation penalty in ladder/consolidation scoring - tiny
+# passes buy nothing and cost compile time - and because the 4-vs-8
+# pass headline A/B (2026-08-19, 8.44 vs 8.97 ms) showed COARSER
+# ladders win on smooth frames for reasons the per-tile gather model
+# alone does not capture.
 _CYCLES_PER_GATHER = 1.0
 _BYTES_PER_CYCLE = 850.0
 _LAUNCH_CYCLES = 160_000.0

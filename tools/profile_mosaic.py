@@ -134,6 +134,10 @@ def build_twine16():
                    for cx, cy, wt in args.twine_spread)
     frame_fn, state, assigned, passes = FP.fused_frame(
         plan, src, window, spread=spread)
+    build_twine16.plan = plan
+    build_twine16.src = src
+    build_twine16.window = window
+    build_twine16.spread = spread
     return frame_fn, state, passes, assigned, 2048 * 1280
 
 
